@@ -86,6 +86,16 @@ class MemOpt:
             self.mapQ_coef_fac = int(math.log(self.mapQ_coef_len))
         if self.mat is None:
             self.mat = fill_scmat(self.a, self.b)
+        self.round_float_fields()
+
+    def round_float_fields(self):
+        """mem_opt_t stores these as C float (bwamem.h:46-51); all downstream
+        arithmetic promotes them to double, so the value used is
+        double(float32(x)) — e.g. 0.80f == 0.800000011920929. Call again after
+        mutating any of these fields (CLI parsing does)."""
+        for f in ("split_factor", "mask_level", "drop_ratio", "XA_drop_ratio",
+                  "mask_level_redun", "mapQ_coef_len"):
+            setattr(self, f, float(np.float32(getattr(self, f))))
 
     def mat55(self) -> np.ndarray:
         return self.mat.reshape(5, 5)

@@ -55,3 +55,16 @@ def golden_dir():
 
 def fastq_path(name: str) -> pathlib.Path:
     return DATA / name
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running full-dataset tests")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("-m", default=""):
+        return
+    skip = pytest.mark.skip(reason="slow; run with -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

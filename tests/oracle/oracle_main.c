@@ -168,6 +168,67 @@ static int run_smem(bwaidx_t *idx, mem_opt_t *opt, int argc, char **argv) {
     return 0;
 }
 
+/* dump filtered chains + seeds per read */
+typedef struct { int64_t rbeg; int32_t qbeg, len; int score; } orc_seed_t;
+typedef struct {
+    int n, m, first, rid;
+    uint32_t w:29, kept:2, is_alt:1;
+    float frac_rep;
+    int64_t pos;
+    orc_seed_t *seeds;
+} orc_chain_t;
+typedef struct { size_t n, m; orc_chain_t *a; } orc_chain_v;
+orc_chain_v mem_chain(const mem_opt_t *opt, const bwt_t *bwt, const bntseq_t *bns,
+                      int len, const uint8_t *seq, void *buf);
+int mem_chain_flt(const mem_opt_t *opt, int n_chn, orc_chain_t *a);
+void mem_flt_chained_seeds(const mem_opt_t *opt, const bntseq_t *bns, const uint8_t *pac,
+                           int l_query, const uint8_t *query, int n_chn, orc_chain_t *a);
+static int run_chains(bwaidx_t *idx, mem_opt_t *opt, const char *path) {
+    int n = 0;
+    readrec_t *rr = read_fastq(path, &n);
+    for (int ri = 0; ri < n; ri++) {
+        uint8_t *q = malloc(rr[ri].l);
+        seq_to_nt4(rr[ri].seq, q, rr[ri].l);
+        orc_chain_v chn = mem_chain(opt, idx->bwt, idx->bns, rr[ri].l, q, 0);
+        chn.n = mem_chain_flt(opt, chn.n, chn.a);
+        mem_flt_chained_seeds(opt, idx->bns, idx->pac, rr[ri].l, q, chn.n, chn.a);
+        printf(">%s %d\n", rr[ri].name, (int)chn.n);
+        for (size_t i = 0; i < chn.n; i++) {
+            orc_chain_t *c = &chn.a[i];
+            printf("C %lld %d %u %d %.6f %d\n", (long long)c->pos, c->rid, c->w,
+                   c->kept, c->frac_rep, c->n);
+            for (int j = 0; j < c->n; j++)
+                printf("S %lld %d %d %d\n", (long long)c->seeds[j].rbeg,
+                       c->seeds[j].qbeg, c->seeds[j].len, c->seeds[j].score);
+            free(c->seeds);
+        }
+        free(chn.a); free(q);
+    }
+    return 0;
+}
+
+/* dump raw alignment regions per read (before mark_primary) */
+mem_alnreg_v mem_align1_core(const mem_opt_t *opt, const bwt_t *bwt, const bntseq_t *bns,
+                             const uint8_t *pac, int l_seq, char *seq, void *buf);
+static int run_regs(bwaidx_t *idx, mem_opt_t *opt, const char *path) {
+    int n = 0;
+    readrec_t *rr = read_fastq(path, &n);
+    for (int ri = 0; ri < n; ri++) {
+        mem_alnreg_v a = mem_align1_core(opt, idx->bwt, idx->bns, idx->pac,
+                                         rr[ri].l, rr[ri].seq, 0);
+        printf(">%s %d\n", rr[ri].name, (int)a.n);
+        for (size_t i = 0; i < a.n; i++) {
+            mem_alnreg_t *p = &a.a[i];
+            printf("%lld %lld %d %d %d %d %d %d %d %d %d %d %d %.6f\n",
+                   (long long)p->rb, (long long)p->re, p->qb, p->qe, p->rid,
+                   p->score, p->truesc, p->sub, p->csub, p->sub_n, p->w,
+                   p->seedcov, p->seedlen0, p->frac_rep);
+        }
+        free(a.a);
+    }
+    return 0;
+}
+
 static int run_sa(bwaidx_t *idx, int stride) {
     for (bwtint_t k = 0; k <= idx->bwt->seq_len; k += stride)
         printf("%llu %llu\n", (unsigned long long)k, (unsigned long long)bwt_sa(idx->bwt, k));
@@ -251,6 +312,8 @@ int main(int argc, char **argv) {
     if (!idx) { fprintf(stderr, "index load failed\n"); return 2; }
     if (!strcmp(mode, "mem")) return run_mem(idx, opt, argc - 3, argv + 3);
     if (!strcmp(mode, "smem")) return run_smem(idx, opt, argc - 3, argv + 3);
+    if (!strcmp(mode, "regs")) return run_regs(idx, opt, argv[3]);
+    if (!strcmp(mode, "chains")) return run_chains(idx, opt, argv[3]);
     if (!strcmp(mode, "sa")) return run_sa(idx, atoi(argv[3]));
     if (!strcmp(mode, "occ")) return run_occ(idx, atoi(argv[3]));
     if (!strcmp(mode, "extend")) return run_dp(idx, opt, argv[3], 0);

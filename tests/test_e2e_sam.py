@@ -1,0 +1,80 @@
+"""End-to-end SAM identity vs bwa-mem goldens (subsets for CI speed).
+
+The full-10K identity runs are covered by test_full_10k (marked slow); the
+default suite uses the 1K golden subsets.
+"""
+
+import pytest
+
+from mpibwa_tpu.core.fm import FMIndex
+from mpibwa_tpu.core.opts import MEM_F_PE, mem_opt_init
+from mpibwa_tpu.core.pipeline import process_seqs
+from mpibwa_tpu.core.refseq import RefSeq
+from mpibwa_tpu.io.fastq import interleave, read_fastq
+
+from conftest import fastq_path
+
+
+@pytest.fixture(scope="module")
+def engines(index):
+    return FMIndex.from_index(index), RefSeq(index)
+
+
+def _diff(got: str, want: str) -> str:
+    gl, wl = got.splitlines(), want.splitlines()
+    for i, (g, w) in enumerate(zip(gl, wl)):
+        if g != w:
+            return f"line {i}:\n got: {g[:220]}\nwant: {w[:220]}"
+    return f"line counts differ: got {len(gl)} want {len(wl)}"
+
+
+def test_se_200(engines, golden_dir):
+    fm, refs = engines
+    opt = mem_opt_init()
+    seqs = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=200)
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    names = {s.name for s in seqs}
+    want = "".join(
+        l for l in open(golden_dir / "se_1k.sam").read().splitlines(keepends=True)
+        if l.split("\t", 1)[0] in names)
+    assert got == want, _diff(got, want)
+
+
+def test_pe_1k(engines, golden_dir):
+    """PE identity on the 1K-pair batch (pestat is batch-scoped, so the
+    golden was generated with exactly this batch)."""
+    fm, refs = engines
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_PE
+    r1 = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=1000)
+    r2 = read_fastq(fastq_path("HCC1187C_R2_10K.fastq"), limit=1000)
+    seqs = interleave(r1, r2)
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "pe_1k.sam").read_text()
+    assert got == want, _diff(got, want)
+
+
+@pytest.mark.slow
+def test_full_10k_se(engines, golden_dir):
+    fm, refs = engines
+    opt = mem_opt_init()
+    seqs = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"))
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "se_10k.sam").read_text()
+    assert got == want, _diff(got, want)
+
+
+@pytest.mark.slow
+def test_full_10k_pe(engines, golden_dir):
+    fm, refs = engines
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_PE
+    seqs = interleave(read_fastq(fastq_path("HCC1187C_R1_10K.fastq")),
+                      read_fastq(fastq_path("HCC1187C_R2_10K.fastq")))
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "pe_10k.sam").read_text()
+    assert got == want, _diff(got, want)
