@@ -1,0 +1,367 @@
+"""Batched SMEM seeding automata (device, JAX).
+
+Re-expression of mem_collect_intv's three passes (bwamem.c:114-162) as
+lockstep batched automata:
+
+- Forward pass (bwt_smem1a forward loop, bwt.c:304-321, max_intv==0): one
+  interval-extension step per iteration for a whole batch of reads. Because
+  bwt_smem1's return value (the next start position) is the info of the LAST
+  interval pushed by the forward loop, the chained sequence of per-read
+  smem1 calls is determined by forward extension alone — the backward phase
+  never feeds back into it. This is what makes the two-phase batching exact.
+- Backward pass (bwt.c:326-345): lanes are (read, call) pairs; each step
+  extends the whole surviving interval list of every lane at once. The C
+  inner j-loop collapses to vector ops: a mem is emitted iff the FIRST
+  (longest-match) entry fails extension, and the surviving list is the
+  extension results with consecutive duplicate sizes collapsed.
+- Pass 3 (bwt_seed_strategy1, bwt.c:358-379): forward-only automaton.
+
+Fixed-capacity buffers with overflow flags; overflowing reads fall back to
+the scalar host path (exactness preserved, rare in practice).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fmd import DeviceFMIndex
+
+F_CAP = 192  # max forward-pushed intervals per read (all calls)
+C_CAP = 48  # max smem1 calls per read
+P_CAP = 64  # max surviving intervals in a backward step
+M_CAP = 64  # max mems per (read, call)
+S3_CAP = 24  # max pass-3 seeds per read
+
+
+class FwdOut(NamedTuple):
+    ivals: jnp.ndarray  # (B, F_CAP, 3) int64 pushed intervals
+    infos: jnp.ndarray  # (B, F_CAP) int32 pushed info (end position)
+    call_of: jnp.ndarray  # (B, F_CAP) int32 which call pushed it
+    n_pushed: jnp.ndarray  # (B,) int32
+    call_x: jnp.ndarray  # (B, C_CAP) int32 start of each call
+    call_start: jnp.ndarray  # (B, C_CAP) int32 index of first push
+    call_len: jnp.ndarray  # (B, C_CAP) int32 number of pushes
+    n_calls: jnp.ndarray  # (B,) int32
+    overflow: jnp.ndarray  # (B,) bool
+
+
+@functools.partial(jax.jit, static_argnums=(0, 4))
+def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
+                 min_intv: jnp.ndarray, chain: bool = True,
+                 starts: jnp.ndarray = None) -> FwdOut:
+    """Run chained (pass 1) or single (pass 2) smem1 forward loops.
+
+    q: (B, L) uint8 nt4 codes (pad >= 4); lens: (B,) int32;
+    min_intv: (B,) int64; starts: (B,) int32 initial x (default 0).
+    chain=True: after each call, continue from the returned position
+    (mem_collect_intv pass-1 loop); chain=False: exactly one call per lane.
+    """
+    B, L = q.shape
+    if starts is None:
+        starts = jnp.zeros(B, dtype=jnp.int32)
+
+    SEEK, EXT, DONE = 0, 1, 2
+
+    state = dict(
+        x=starts.astype(jnp.int32),
+        kind=jnp.full(B, SEEK, jnp.int32),
+        ik=jnp.zeros((B, 3), jnp.int64),
+        info=jnp.zeros(B, jnp.int32),
+        i=jnp.zeros(B, jnp.int32),
+        ivals=jnp.zeros((B, F_CAP, 3), jnp.int64),
+        infos=jnp.zeros((B, F_CAP), jnp.int32),
+        call_of=jnp.full((B, F_CAP), -1, jnp.int32),
+        n_pushed=jnp.zeros(B, jnp.int32),
+        call_x=jnp.zeros((B, C_CAP), jnp.int32),
+        call_start=jnp.zeros((B, C_CAP), jnp.int32),
+        call_len=jnp.zeros((B, C_CAP), jnp.int32),
+        n_calls=jnp.zeros(B, jnp.int32),
+        overflow=jnp.zeros(B, bool),
+    )
+
+    rows = jnp.arange(B)
+
+    def qat(pos):
+        safe = jnp.clip(pos, 0, L - 1)
+        return jnp.where((pos >= 0) & (pos < L), q[rows, safe], jnp.uint8(4))
+
+    def push(st, do):
+        """Append current ik/info for lanes where do is True."""
+        idx = jnp.minimum(st["n_pushed"], F_CAP - 1)
+        ov = do & (st["n_pushed"] >= F_CAP)
+        new_ivals = st["ivals"].at[rows, idx].set(
+            jnp.where(do[:, None], st["ik"], st["ivals"][rows, idx]))
+        new_infos = st["infos"].at[rows, idx].set(
+            jnp.where(do, st["info"], st["infos"][rows, idx]))
+        new_call = st["call_of"].at[rows, idx].set(
+            jnp.where(do, st["n_calls"] - 1, st["call_of"][rows, idx]))
+        st = dict(st, ivals=new_ivals, infos=new_infos, call_of=new_call,
+                  n_pushed=st["n_pushed"] + do.astype(jnp.int32),
+                  overflow=st["overflow"] | ov)
+        cidx = jnp.minimum(st["n_calls"] - 1, C_CAP - 1)
+        st["call_len"] = st["call_len"].at[rows, cidx].add(do.astype(jnp.int32))
+        return st
+
+    def end_call(st, do):
+        """Call finished: last pushed info is the return; chain or stop."""
+        last = jnp.maximum(st["n_pushed"] - 1, 0)
+        ret = st["infos"][rows, jnp.minimum(last, F_CAP - 1)]
+        if chain:
+            new_x = jnp.where(do, ret, st["x"])
+            new_kind = jnp.where(do, SEEK, st["kind"])
+        else:
+            new_x = st["x"]
+            new_kind = jnp.where(do, DONE, st["kind"])
+        return dict(st, x=new_x, kind=new_kind)
+
+    def body(st):
+        kind, x = st["kind"], st["x"]
+        seek = kind == SEEK
+        ext = kind == EXT
+
+        # --- seek step ---
+        qx = qat(x)
+        fin = seek & (x >= lens)
+        amb = seek & ~fin & (qx > 3)
+        beg = seek & ~fin & ~amb
+        call_ov = beg & (st["n_calls"] >= C_CAP)
+        beg = beg & ~call_ov
+        if not chain:
+            # single-call mode: an ambiguous start yields no mems (bwt.c:296)
+            fin = fin | amb
+            amb = amb & False
+        st = dict(st, overflow=st["overflow"] | call_ov,
+                  kind=jnp.where(fin | call_ov, DONE, st["kind"]),
+                  x=jnp.where(amb, x + 1, st["x"]))
+        # begin call
+        cidx = jnp.minimum(st["n_calls"], C_CAP - 1)
+        st["call_x"] = st["call_x"].at[rows, cidx].set(
+            jnp.where(beg, x, st["call_x"][rows, cidx]))
+        st["call_start"] = st["call_start"].at[rows, cidx].set(
+            jnp.where(beg, st["n_pushed"], st["call_start"][rows, cidx]))
+        st["n_calls"] = st["n_calls"] + beg.astype(jnp.int32)
+        ik0 = fm.set_intv(jnp.clip(qx, 0, 3).astype(jnp.int32))
+        st["ik"] = jnp.where(beg[:, None], ik0, st["ik"])
+        st["info"] = jnp.where(beg, x + 1, st["info"])
+        st["i"] = jnp.where(beg, x + 1, st["i"])
+        st["kind"] = jnp.where(beg, EXT, st["kind"])
+
+        # --- extend step (one forward base for lanes in EXT) ---
+        kind, i = st["kind"], st["i"]
+        ext = kind == EXT
+        at_end = ext & (i >= lens)
+        qi = qat(i)
+        amb_i = ext & ~at_end & (qi > 3)
+        do_ext = ext & ~at_end & ~amb_i
+        ok = fm.extend(st["ik"], 0)  # (B, 4, 3)
+        c = (3 - jnp.clip(qi, 0, 3)).astype(jnp.int32)
+        okc = ok[rows, c, :]  # (B, 3)
+        changed = okc[:, 2] != st["ik"][:, 2]
+        too_small = okc[:, 2] < st.get("_minintv", min_intv)
+        # pushes: end-of-read, ambiguous, or size change
+        push_now = at_end | amb_i | (do_ext & changed)
+        st = push(st, push_now)
+        # call terminations
+        term = at_end | amb_i | (do_ext & changed & too_small)
+        st = end_call(st, term)
+        # advance for continuing lanes
+        go_on = do_ext & ~(changed & too_small)
+        st["ik"] = jnp.where(go_on[:, None], okc, st["ik"])
+        st["info"] = jnp.where(go_on, i + 1, st["info"])
+        st["i"] = jnp.where(go_on, i + 1, st["i"])
+        return st
+
+    def cond(st):
+        return jnp.any(st["kind"] != DONE)
+
+    state["_minintv"] = min_intv
+    state = jax.lax.while_loop(cond, body, state)
+    return FwdOut(state["ivals"], state["infos"], state["call_of"],
+                  state["n_pushed"], state["call_x"], state["call_start"],
+                  state["call_len"], state["n_calls"], state["overflow"])
+
+
+class BwdOut(NamedTuple):
+    mems: jnp.ndarray  # (N, M_CAP, 3) int64
+    mem_infos: jnp.ndarray  # (N, M_CAP) int64 (start<<32 | end)
+    n_mems: jnp.ndarray  # (N,) int32
+    overflow: jnp.ndarray  # (N,) bool
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def backward_pass(fm: DeviceFMIndex, qrows: jnp.ndarray, prev: jnp.ndarray,
+                  prev_info: jnp.ndarray, n_prev: jnp.ndarray,
+                  x0: jnp.ndarray, min_intv: jnp.ndarray) -> BwdOut:
+    """Backward MEM collection for N independent (read, call) lanes.
+
+    qrows: (N, L) uint8 query rows; prev: (N, P_CAP, 3) int64 forward
+    intervals in reversed push order (longest match first); prev_info:
+    (N, P_CAP) int64; n_prev: (N,); x0: (N,) the call's start position.
+    """
+    N, L = qrows.shape
+    rows = jnp.arange(N)
+
+    state = dict(
+        i=(x0 - 1).astype(jnp.int32),
+        prev=prev, prev_info=prev_info, n_prev=n_prev.astype(jnp.int32),
+        mems=jnp.zeros((N, M_CAP, 3), jnp.int64),
+        mem_infos=jnp.zeros((N, M_CAP), jnp.int64),
+        n_mems=jnp.zeros(N, jnp.int32),
+        last_start=jnp.full(N, jnp.int64(1) << 62),  # +inf: "mems empty"
+        active=n_prev > 0,
+        overflow=jnp.zeros(N, bool),
+    )
+
+    lanes = jnp.arange(P_CAP)
+
+    def body(st):
+        i = st["i"]
+        act = st["active"]
+        safe_i = jnp.clip(i, 0, L - 1)
+        qi = jnp.where((i >= 0) & (i < L), qrows[rows, safe_i], jnp.uint8(4))
+        has_c = (i >= 0) & (qi < 4)
+        c = jnp.clip(qi, 0, 3).astype(jnp.int32)
+
+        live = lanes[None, :] < st["n_prev"][:, None]  # (N, P)
+        ok = fm.extend(st["prev"], 1)  # (N, P, 4, 3)
+        okc = ok[rows[:, None], lanes[None, :], c[:, None], :]  # (N, P, 3)
+        keeper = live & has_c[:, None] & (okc[:, :, 2] >= min_intv[:, None])
+
+        # mem emission: first entry fails extension (or no base) ->
+        # curr empty at j=0 -> push prev[0] unless contained
+        first_fails = act & live[:, 0] & ~keeper[:, 0]
+        not_contained = (i + 1) < st["last_start"]
+        emit = first_fails & not_contained
+        midx = jnp.minimum(st["n_mems"], M_CAP - 1)
+        mem_ov = emit & (st["n_mems"] >= M_CAP)
+        info = st["prev_info"][:, 0] | ((i + 1).astype(jnp.int64) << 32)
+        st["mems"] = st["mems"].at[rows, midx].set(
+            jnp.where(emit[:, None], st["prev"][:, 0], st["mems"][rows, midx]))
+        st["mem_infos"] = st["mem_infos"].at[rows, midx].set(
+            jnp.where(emit, info, st["mem_infos"][rows, midx]))
+        st["n_mems"] = st["n_mems"] + emit.astype(jnp.int32)
+        st["last_start"] = jnp.where(emit, (i + 1).astype(jnp.int64),
+                                     st["last_start"])
+        st["overflow"] = st["overflow"] | mem_ov
+
+        # survivors: keepers with consecutive duplicate sizes collapsed
+        # (compare each keeper's size to the previous keeper's size)
+        # previous keeper index for each lane
+        kidx = jnp.where(keeper, lanes[None, :], -1)
+        prev_kidx = jax.lax.associative_scan(jnp.maximum, kidx, axis=1)
+        prev_kidx = jnp.concatenate(
+            [jnp.full((N, 1), -1), prev_kidx[:, :-1]], axis=1)
+        prev_size = jnp.take_along_axis(
+            okc[:, :, 2], jnp.maximum(prev_kidx, 0), axis=1)
+        append = keeper & ((prev_kidx < 0)
+                           | (okc[:, :, 2] != prev_size))
+        # compact appended entries to the front
+        pos = jnp.cumsum(append.astype(jnp.int32), axis=1) - 1
+        n_new = append.sum(axis=1).astype(jnp.int32)
+        new_prev = jnp.zeros_like(st["prev"])
+        new_info = jnp.zeros_like(st["prev_info"])
+        scatter_pos = jnp.where(append, pos, P_CAP)  # P_CAP = dropped
+        new_prev = new_prev.at[rows[:, None], scatter_pos].set(okc, mode="drop")
+        new_info = new_info.at[rows[:, None], scatter_pos].set(
+            st["prev_info"], mode="drop")
+
+        cont = act & (n_new > 0)
+        st["prev"] = jnp.where(cont[:, None, None], new_prev, st["prev"])
+        st["prev_info"] = jnp.where(cont[:, None], new_info, st["prev_info"])
+        st["n_prev"] = jnp.where(cont, n_new, st["n_prev"])
+        st["active"] = cont & (i >= 0)
+        st["i"] = jnp.where(st["active"], i - 1, i)
+        return st
+
+    def cond(st):
+        return jnp.any(st["active"])
+
+    state = jax.lax.while_loop(cond, body, state)
+    return BwdOut(state["mems"], state["mem_infos"], state["n_mems"],
+                  state["overflow"])
+
+
+class Pass3Out(NamedTuple):
+    seeds: jnp.ndarray  # (B, S3_CAP, 3) int64
+    infos: jnp.ndarray  # (B, S3_CAP) int64
+    n_seeds: jnp.ndarray  # (B,) int32
+    overflow: jnp.ndarray  # (B,) bool
+
+
+@functools.partial(jax.jit, static_argnums=(0,))
+def pass3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
+          min_seed_len: int, max_intv: int) -> Pass3Out:
+    """bwt_seed_strategy1 sweep (mem_collect_intv 3rd pass)."""
+    B, L = q.shape
+    rows = jnp.arange(B)
+    SEEK, EXT, DONE = 0, 1, 2
+
+    state = dict(
+        x=jnp.zeros(B, jnp.int32), i=jnp.zeros(B, jnp.int32),
+        kind=jnp.full(B, SEEK, jnp.int32),
+        ik=jnp.zeros((B, 3), jnp.int64),
+        seeds=jnp.zeros((B, S3_CAP, 3), jnp.int64),
+        infos=jnp.zeros((B, S3_CAP), jnp.int64),
+        n=jnp.zeros(B, jnp.int32),
+        overflow=jnp.zeros(B, bool),
+    )
+
+    def qat(pos):
+        safe = jnp.clip(pos, 0, L - 1)
+        return jnp.where((pos >= 0) & (pos < L), q[rows, safe], jnp.uint8(4))
+
+    def body(st):
+        x, i, kind = st["x"], st["i"], st["kind"]
+        seek = kind == SEEK
+        qx = qat(x)
+        fin = seek & (x >= lens)
+        amb = seek & ~fin & (qx > 3)
+        beg = seek & ~fin & ~amb
+        st = dict(st, kind=jnp.where(fin, DONE, kind),
+                  x=jnp.where(amb, x + 1, x))
+        ik0 = fm.set_intv(jnp.clip(qx, 0, 3).astype(jnp.int32))
+        st["ik"] = jnp.where(beg[:, None], ik0, st["ik"])
+        st["i"] = jnp.where(beg, st["x"] + 1, st["i"])
+        st["kind"] = jnp.where(beg, EXT, st["kind"])
+
+        kind, i = st["kind"], st["i"]
+        ext = kind == EXT
+        end_of_read = ext & (i >= lens)  # loop ran off: return len, done
+        qi = qat(i)
+        amb_i = ext & ~end_of_read & (qi > 3)  # return i+1 -> next x
+        do = ext & ~end_of_read & ~amb_i
+        ok = fm.extend(st["ik"], 0)
+        c = (3 - jnp.clip(qi, 0, 3)).astype(jnp.int32)
+        okc = ok[rows, c, :]
+        hit = do & (okc[:, 2] < max_intv) & ((i - st["x"]) >= min_seed_len)
+        # emit seed when hit & size > 0
+        emit = hit & (okc[:, 2] > 0)
+        sidx = jnp.minimum(st["n"], S3_CAP - 1)
+        ov = emit & (st["n"] >= S3_CAP)
+        info = (st["x"].astype(jnp.int64) << 32) | (i + 1).astype(jnp.int64)
+        st["seeds"] = st["seeds"].at[rows, sidx].set(
+            jnp.where(emit[:, None], okc, st["seeds"][rows, sidx]))
+        st["infos"] = st["infos"].at[rows, sidx].set(
+            jnp.where(emit, info, st["infos"][rows, sidx]))
+        st["n"] = st["n"] + emit.astype(jnp.int32)
+        st["overflow"] = st["overflow"] | ov
+
+        st["kind"] = jnp.where(end_of_read, DONE, st["kind"])
+        nxt = amb_i | hit
+        st["x"] = jnp.where(nxt, i + 1, st["x"])
+        st["kind"] = jnp.where(nxt, SEEK, st["kind"])
+        go_on = do & ~hit
+        st["ik"] = jnp.where(go_on[:, None], okc, st["ik"])
+        st["i"] = jnp.where(go_on, i + 1, st["i"])
+        return st
+
+    def cond(st):
+        return jnp.any(st["kind"] != DONE)
+
+    state = jax.lax.while_loop(cond, body, state)
+    return Pass3Out(state["seeds"], state["infos"], state["n"], state["overflow"])

@@ -1,0 +1,75 @@
+"""Device (JAX) kernels vs the exact scalar engine."""
+
+import numpy as np
+import pytest
+
+from mpibwa_tpu.core.chain import collect_intv
+from mpibwa_tpu.core.fm import FMIndex
+from mpibwa_tpu.core.opts import mem_opt_init
+from mpibwa_tpu.io.fastq import read_fastq
+
+from conftest import fastq_path
+
+
+@pytest.fixture(scope="module")
+def dfm(index):
+    from mpibwa_tpu.ops.fmd import DeviceFMIndex
+
+    return DeviceFMIndex(index)
+
+
+@pytest.fixture(scope="module")
+def fm(index):
+    return FMIndex.from_index(index)
+
+
+def test_device_occ4(dfm, fm):
+    import jax.numpy as jnp
+
+    ks = np.arange(-1, 1342501, 311, dtype=np.int64)
+    got = np.asarray(dfm.occ4(jnp.asarray(ks)))
+    want = fm.occ4_batch(ks)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_sa(dfm, fm):
+    import jax.numpy as jnp
+
+    ks = np.arange(0, 1342501, 307, dtype=np.int64)
+    got = np.asarray(dfm.sa_lookup(jnp.asarray(ks))).astype(np.uint64)
+    want = np.array([np.uint64(fm.sa_lookup(int(k))) for k in ks], dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_device_extend_matches_scalar(dfm, fm):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    iks = []
+    for _ in range(50):
+        c = int(rng.integers(4))
+        ik = fm.set_intv(c)
+        iks.append(ik)
+    ik_arr = jnp.asarray(np.array(iks, dtype=np.int64))
+    for is_back in (0, 1):
+        got = np.asarray(dfm.extend(ik_arr, is_back))
+        for i, ik in enumerate(iks):
+            want = fm.extend(ik, is_back)
+            np.testing.assert_array_equal(got[i], np.array(want))
+
+
+def test_device_collect_intv(dfm, fm, index):
+    from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
+
+    opt = mem_opt_init()
+    seeder = DeviceSeeder(dfm, opt)
+    reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=48)
+    got, fallback = seeder.collect_batch([s.seq for s in reads])
+    n_checked = 0
+    for i, s in enumerate(reads):
+        if got[i] is None:
+            continue
+        want = collect_intv(opt, fm, s.seq)
+        assert got[i] == want, f"device collect mismatch for {s.name}"
+        n_checked += 1
+    assert n_checked >= 40  # nearly all reads must take the device path
