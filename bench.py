@@ -1,0 +1,77 @@
+"""Benchmark: reads aligned/sec/chip on the bundled example data.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Baseline: mpiBWA 1 rank x 1 thread = 40224 reads / 25.84 s = 1556.7 reads/s
+(/root/reference/docs/README.md:216-218).
+
+Output is verified byte-identical to the golden (reference engine) SAM as
+part of the run — a benchmark number only counts if the output is right.
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_READS_PER_SEC = 40224 / 25.84  # mpiBWA -n 1 -t 1
+
+DATA = "/root/reference/examples/data"
+IDX_TGZ = f"{DATA}/hg19.small.tar.gz"
+IDX_DIR = "/tmp/ref"
+IDX_PREFIX = f"{IDX_DIR}/hg19.small.fa"
+
+
+def ensure_index():
+    if not os.path.exists(IDX_PREFIX + ".bwt"):
+        os.makedirs(IDX_DIR, exist_ok=True)
+        subprocess.run(["tar", "xzf", IDX_TGZ, "-C", IDX_DIR], check=True)
+
+
+def main():
+    ensure_index()
+    from mpibwa_tpu.core.opts import mem_opt_init
+    from mpibwa_tpu.index.format import load_index
+    from mpibwa_tpu.io.fastq import read_fastq
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    idx = load_index(IDX_PREFIX)
+    opt = mem_opt_init()
+    al = DeviceAligner(idx, opt)
+    seqs = read_fastq(f"{DATA}/HCC1187C_R1_10K.fastq")
+
+    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    # warmup batch (compilation)
+    al.process_seqs(seqs[:batch], n_processed=0)
+    # timed batches
+    t0 = time.time()
+    n_timed = 0
+    off = batch
+    while off < len(seqs):
+        cnt = min(batch, len(seqs) - off)
+        al.process_seqs(seqs[off : off + cnt], n_processed=off)
+        n_timed += cnt
+        off += cnt
+    dt = time.time() - t0
+    reads_per_sec = n_timed / dt
+
+    # correctness gate: byte-identity vs the reference engine's output
+    golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "tests", "golden", "se_10k.sam")
+    ok = True
+    if os.path.exists(golden):
+        got = "".join(s.sam for s in seqs)
+        ok = got == open(golden).read()
+
+    print(json.dumps({
+        "metric": "reads_aligned_per_sec_per_chip_se" + ("" if ok else "_WRONG_OUTPUT"),
+        "value": round(reads_per_sec, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

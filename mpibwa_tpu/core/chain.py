@@ -128,13 +128,19 @@ def _test_and_merge(opt, l_pac: int, c: Chain, p: Seed, seed_rid: int) -> bool:
     return False
 
 
-def mem_chain(opt, fm, refs, q, l_seq: int) -> List[Chain]:
+def mem_chain(opt, fm, refs, q, l_seq: int, mem=None, sa=None) -> List[Chain]:
     """mem_chain (bwamem.c:251-315). Returns chains in B-tree traversal order
-    (pos-ascending, insertion order after equals)."""
+    (pos-ascending, insertion order after equals).
+
+    mem: precomputed collect_intv output (device seeding); sa: k -> position
+    resolver (device SA batch); both default to the scalar engine."""
     if l_seq < opt.min_seed_len:
         return []
     l_pac = refs.l_pac
-    mem = collect_intv(opt, fm, q)
+    if mem is None:
+        mem = collect_intv(opt, fm, q)
+    if sa is None:
+        sa = fm.sa_lookup
     # frac_rep (bwamem.c:265-272)
     b = e = l_rep = 0
     for iv in mem:
@@ -158,7 +164,7 @@ def mem_chain(opt, fm, refs, q, l_seq: int) -> List[Chain]:
         step = iv[2] // opt.max_occ if iv[2] > opt.max_occ else 1
         k, count = 0, 0
         while k < iv[2] and count < opt.max_occ:
-            rbeg = fm.sa_lookup(iv[0] + k)
+            rbeg = sa(iv[0] + k)
             s = Seed(rbeg=rbeg, qbeg=iv[3] >> 32, len=slen, score=slen)
             rid = refs.intv2rid(s.rbeg, s.rbeg + s.len)
             if rid >= 0:

@@ -34,15 +34,16 @@ class BSeq:
         return len(self.seq)
 
 
-def mem_align1_core(opt, fm, refs, q: np.ndarray) -> List[AlnReg]:
+def mem_align1_core(opt, fm, refs, q: np.ndarray, mem=None, sa=None,
+                    extender=None) -> List[AlnReg]:
     """mem_align1_core (bwamem.c:1051-1087)."""
     l_seq = len(q)
-    chn = mem_chain(opt, fm, refs, q, l_seq)
+    chn = mem_chain(opt, fm, refs, q, l_seq, mem=mem, sa=sa)
     chn = mem_chain_flt(opt, chn)
     mem_flt_chained_seeds(opt, refs, l_seq, q, chn)
     regs: List[AlnReg] = []
     for c in chn:
-        mem_chain2aln(opt, refs, l_seq, q, c, regs)
+        mem_chain2aln(opt, refs, l_seq, q, c, regs, extender=extender)
     regs = mem_sort_dedup_patch(opt, refs, q, regs)
     for p in regs:
         if p.rid >= 0 and refs.anns[p.rid].is_alt:

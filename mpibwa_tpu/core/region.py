@@ -75,11 +75,17 @@ def cal_max_gap(opt, qlen: int) -> int:
     return min(l, opt.w << 1)
 
 
-def mem_chain2aln(opt, refs, l_query: int, query, c: Chain, av: List[AlnReg]):
+def mem_chain2aln(opt, refs, l_query: int, query, c: Chain, av: List[AlnReg],
+                  extender=None):
     """mem_chain2aln (bwamem.c:632-786): extend a chain's seeds into regions,
-    appending to av."""
+    appending to av. extender(qs, ts, w, end_bonus, zdrop, h0) may serve
+    precomputed device results; defaults to the scalar kernel."""
     if c.n == 0:
         return
+    if extender is None:
+        def extender(qs, ts, w_, eb, zd, h0_):
+            return ksw_extend2(qs, ts, opt.mat, opt.o_del, opt.e_del,
+                               opt.o_ins, opt.e_ins, w_, eb, zd, h0_)
     l_pac = refs.l_pac
     # max possible span (bwamem.c:642-657)
     rmax0, rmax1 = l_pac << 1, 0
@@ -160,9 +166,8 @@ def mem_chain2aln(opt, refs, l_query: int, query, c: Chain, av: List[AlnReg]):
             for i in range(MAX_BAND_TRY):
                 prev = a.score
                 aw0 = opt.w << i
-                (a.score, qle, tle, gtle, gscore, max_off0) = ksw_extend2(
-                    qs, rs, opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
-                    aw0, opt.pen_clip5, opt.zdrop, s.len * opt.a)
+                (a.score, qle, tle, gtle, gscore, max_off0) = extender(
+                    qs, rs, aw0, opt.pen_clip5, opt.zdrop, s.len * opt.a)
                 if a.score == prev or max_off0 < (aw0 >> 1) + (aw0 >> 2):
                     break
             if gscore <= 0 or gscore <= a.score - opt.pen_clip5:  # local
@@ -186,10 +191,9 @@ def mem_chain2aln(opt, refs, l_query: int, query, c: Chain, av: List[AlnReg]):
             for i in range(MAX_BAND_TRY):
                 prev = a.score
                 aw1 = opt.w << i
-                (a.score, qle, tle, gtle, gscore, max_off1) = ksw_extend2(
+                (a.score, qle, tle, gtle, gscore, max_off1) = extender(
                     np.ascontiguousarray(query[qe:]),
                     np.ascontiguousarray(rseq[re:]),
-                    opt.mat, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
                     aw1, opt.pen_clip3, opt.zdrop, sc0)
                 if a.score == prev or max_off1 < (aw1 >> 1) + (aw1 >> 2):
                     break

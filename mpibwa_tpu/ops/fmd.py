@@ -2,11 +2,13 @@
 
 The interleaved occ/BWT blocks live in HBM as a (n_blocks, 16) uint32 array
 (layout per bwt.h:72-78: 4 LE u64 cumulative counts + 8 u32 of 128 packed
-bases). A batched occ4 is one gather of the 16-word block plus vectorized
-2-bit counting — the device analog of bwt_occ4 (bwt.c:169-186).
+bases). A batched occ4 is one gather of the 16-word block plus SWAR popcount
+counting over the packed 2-bit words — the device analog of bwt_occ4 and its
+__occ_aux bit trick (bwt.c:98-105, 165-186).
 
-Positions/interval bounds use int64 (human genome doubled exceeds 2^32);
-gather indices and per-block counts stay int32 for TPU efficiency.
+Interval arithmetic uses int32 when the doubled genome fits (most bacterial
+to mammalian-chromosome cases on one shard) and int64 otherwise (full human
+doubled = 6.2e9); TPUs emulate int64 so the narrow path is ~2x cheaper.
 """
 
 from __future__ import annotations
@@ -17,6 +19,17 @@ jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
+
+M55 = jnp.uint32(0x55555555)
+M33 = jnp.uint32(0x33333333)
+M0F = jnp.uint32(0x0F0F0F0F)
+
+
+def _popcount_pairs(m: jnp.ndarray) -> jnp.ndarray:
+    """Popcount of a uint32 that has at most one bit per 2-bit group."""
+    v = (m & M33) + ((m >> 2) & M33)
+    v = (v + (v >> 4)) & M0F
+    return ((v * jnp.uint32(0x01010101)) >> 24).astype(jnp.int32)
 
 
 class DeviceFMIndex:
@@ -31,32 +44,53 @@ class DeviceFMIndex:
         put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
         self.occ = put(occ.astype(np.int32))  # (n_blocks, 4)
         self.data = put(np.ascontiguousarray(blocks[:, 8:]))  # (n_blocks, 8) u32
-        self.L2 = put(np.asarray(idx.L2, dtype=np.int64))  # (5,)
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.sa_intv = int(idx.sa_intv)
-        self.sa = put(np.asarray(idx.sa).view(np.int64))  # (n_sa,)
+        # interval dtype: int32 when every value (<= seq_len + 1) fits
+        if self.seq_len + 2 < 2**31:
+            self.idt, self.np_idt = jnp.int32, np.int32
+        else:
+            self.idt, self.np_idt = jnp.int64, np.int64
+        self.L2 = put(np.asarray(idx.L2).astype(self.np_idt))
+        sa = np.asarray(idx.sa).view(np.int64)
+        if self.idt == jnp.int32:
+            sa = sa.astype(np.int32)  # -1 sentinel preserved
+        self.sa = put(sa)
+        self.sa_lookup_jit = jax.jit(self.sa_lookup)
 
     # -- batched occ4 --------------------------------------------------------
 
     def occ4(self, ks: jnp.ndarray) -> jnp.ndarray:
-        """(N,) int64 positions (negative = sentinel -1) -> (N,4) int64."""
+        """(...,) int positions (negative = sentinel -1) -> (..., 4) idt.
+
+        SWAR formulation of bwt_occ4: per 16-base word, count base c with the
+        __occ_aux bit trick; positions past k are masked off and the base-0
+        overcount corrected, mirroring bwt.c:183-184."""
         sent = ks < 0
         k = jnp.where(sent, 0, ks)
         k = k - (k >= self.primary)
         blk = (k >> 7).astype(jnp.int32)
         within = (k & 127).astype(jnp.int32)
-        words = self.data[blk]  # (N, 8) uint32
-        shifts = jnp.arange(30, -2, -2, dtype=jnp.uint32)  # MSB-first pairs
-        bases = (words[..., None] >> shifts) & jnp.uint32(3)  # (N, 8, 16)
-        pos = (jnp.arange(8, dtype=jnp.int32)[:, None] * 16
-               + jnp.arange(16, dtype=jnp.int32)[None, :])  # (8, 16)
-        live = pos[None, :, :] <= within[:, None, None]
-        cnt = jnp.stack(
-            [((bases == c) & live).sum(axis=(1, 2)).astype(jnp.int32)
-             for c in range(4)], axis=-1)  # (N, 4) int32
-        out = (self.occ[blk] + cnt).astype(jnp.int64)
-        return jnp.where(sent[:, None], jnp.int64(0), out)
+        words = self.data[blk]  # (..., 8) uint32
+        widx = jnp.arange(8, dtype=jnp.int32)
+        nvalid = jnp.clip(within[..., None] + 1 - widx * 16, 0, 16)  # (..., 8)
+        shift = (32 - 2 * nvalid).astype(jnp.uint32)
+        mask = (~((jnp.uint64(1) << shift.astype(jnp.uint64)) - 1)).astype(jnp.uint32)
+        w = words & mask
+        nw = ~w
+        cnts = []
+        for c in range(4):
+            a = (w if c & 2 else nw) >> 1
+            b = w if c & 1 else nw
+            m = a & b & M55
+            cnt = _popcount_pairs(m).sum(axis=-1)
+            cnts.append(cnt)
+        cnt = jnp.stack(cnts, axis=-1)  # (..., 4) int32
+        corr = (16 - nvalid).sum(axis=-1)
+        cnt = cnt.at[..., 0].add(-corr)
+        out = (self.occ[blk] + cnt).astype(self.idt)
+        return jnp.where(sent[..., None], jnp.asarray(0, self.idt), out)
 
     def bwt_b0(self, k: jnp.ndarray) -> jnp.ndarray:
         """Base at position k of the $-removed BWT (bwt_B0). k >= 0."""
@@ -69,32 +103,26 @@ class DeviceFMIndex:
     # -- batched bidirectional extension (bwt_extend, bwt.c:262-275) ---------
 
     def extend(self, ik: jnp.ndarray, is_back: int) -> jnp.ndarray:
-        """ik: (..., 3) int64 intervals -> ok: (..., 4, 3) for the 4 bases."""
-        shape = ik.shape[:-1]
-        ikf = ik.reshape(-1, 3)
+        """ik: (..., 3) idt intervals -> ok: (..., 4, 3) for the 4 bases."""
         col = 0 if is_back else 1  # x[!is_back]
         oth = 1 - col
-        kq = ikf[:, col] - 1
-        tk = self.occ4(kq)
-        tl = self.occ4(kq + ikf[:, 2])
-        okx2 = tl - tk  # (N, 4)
-        ok_main = self.L2[None, :4] + 1 + tk  # x[!is_back] of ok
-        add = ((ikf[:, col] <= self.primary)
-               & (ikf[:, col] + ikf[:, 2] - 1 >= self.primary)).astype(jnp.int64)
-        ok3 = ikf[:, oth] + add
-        # ok[c].x[is_back]: cumulative suffix sums of sizes from c=3 down
-        # ok[2]=ok[3]+s3; ok[1]=ok[2]+s2; ok[0]=ok[1]+s1
-        s = okx2
-        okb3 = ok3
-        okb2 = okb3 + s[:, 3]
-        okb1 = okb2 + s[:, 2]
-        okb0 = okb1 + s[:, 1]
-        ok_oth = jnp.stack([okb0, okb1, okb2, okb3], axis=-1)  # (N, 4)
-        ok = jnp.empty((ikf.shape[0], 4, 3), dtype=jnp.int64)
-        ok = ok.at[:, :, col].set(ok_main)
-        ok = ok.at[:, :, oth].set(ok_oth)
-        ok = ok.at[:, :, 2].set(okx2)
-        return ok.reshape(*shape, 4, 3)
+        kq = ik[..., col] - 1
+        tk = self.occ4(kq)  # (..., 4)
+        tl = self.occ4(kq + ik[..., 2])
+        okx2 = tl - tk
+        ok_main = self.L2[:4] + 1 + tk
+        add = ((ik[..., col] <= self.primary)
+               & (ik[..., col] + ik[..., 2] - 1 >= self.primary)).astype(self.idt)
+        ok3 = ik[..., oth] + add
+        okb2 = ok3 + okx2[..., 3]
+        okb1 = okb2 + okx2[..., 2]
+        okb0 = okb1 + okx2[..., 1]
+        ok_oth = jnp.stack([okb0, okb1, okb2, ok3], axis=-1)
+        parts = [None, None, None]
+        parts[col] = ok_main
+        parts[oth] = ok_oth
+        parts[2] = okx2
+        return jnp.stack(parts, axis=-1)
 
     # -- batched set_intv ----------------------------------------------------
 
@@ -108,20 +136,20 @@ class DeviceFMIndex:
     # -- batched SA lookup (bwt_sa, bwt.c:86-96) -----------------------------
 
     def sa_lookup(self, ks: jnp.ndarray) -> jnp.ndarray:
-        """(N,) int64 SA indices -> (N,) int64 positions."""
+        """(N,) idt SA indices -> (N,) idt positions."""
         mask = self.sa_intv - 1
+        ks = ks.astype(self.idt)
 
         def inv_psi(k):
             x = k - (k > self.primary)
             c = self.bwt_b0(x)
-            # occ(k, c): bwt_occ semantics incl. k == seq_len
             occ_all = self.occ4(k)
             occc = jnp.take_along_axis(occ_all, c[:, None].astype(jnp.int64),
                                        axis=1)[:, 0]
             at_end = k == self.seq_len
             occc = jnp.where(at_end, self.L2[c + 1] - self.L2[c], occc)
             val = self.L2[c] + occc
-            return jnp.where(k == self.primary, jnp.int64(0), val)
+            return jnp.where(k == self.primary, jnp.asarray(0, self.idt), val)
 
         def cond(state):
             k, _, act = state
@@ -131,7 +159,7 @@ class DeviceFMIndex:
             k, steps, act = state
             k2 = inv_psi(k)
             k = jnp.where(act, k2, k)
-            steps = steps + act.astype(jnp.int64)
+            steps = steps + act.astype(self.idt)
             act = (k & mask) != 0
             return k, steps, act
 

@@ -33,7 +33,7 @@ from .fmd import DeviceFMIndex
 
 F_CAP = 192  # max forward-pushed intervals per read (all calls)
 C_CAP = 48  # max smem1 calls per read
-P_CAP = 64  # max surviving intervals in a backward step
+P_CAP = 16  # max surviving intervals in a backward step (99%+ of calls)
 M_CAP = 64  # max mems per (read, call)
 S3_CAP = 24  # max pass-3 seeds per read
 
@@ -70,10 +70,10 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     state = dict(
         x=starts.astype(jnp.int32),
         kind=jnp.full(B, SEEK, jnp.int32),
-        ik=jnp.zeros((B, 3), jnp.int64),
+        ik=jnp.zeros((B, 3), fm.idt),
         info=jnp.zeros(B, jnp.int32),
         i=jnp.zeros(B, jnp.int32),
-        ivals=jnp.zeros((B, F_CAP, 3), jnp.int64),
+        ivals=jnp.zeros((B, F_CAP, 3), fm.idt),
         infos=jnp.zeros((B, F_CAP), jnp.int32),
         call_of=jnp.full((B, F_CAP), -1, jnp.int32),
         n_pushed=jnp.zeros(B, jnp.int32),
@@ -179,7 +179,7 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     def cond(st):
         return jnp.any(st["kind"] != DONE)
 
-    state["_minintv"] = min_intv
+    state["_minintv"] = min_intv.astype(fm.idt)
     state = jax.lax.while_loop(cond, body, state)
     return FwdOut(state["ivals"], state["infos"], state["call_of"],
                   state["n_pushed"], state["call_x"], state["call_start"],
@@ -187,37 +187,47 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
 
 
 class BwdOut(NamedTuple):
-    mems: jnp.ndarray  # (N, M_CAP, 3) int64
+    mems: jnp.ndarray  # (N, M_CAP, 3) idt — mems emitted THIS segment
     mem_infos: jnp.ndarray  # (N, M_CAP) int64 (start<<32 | end)
     n_mems: jnp.ndarray  # (N,) int32
     overflow: jnp.ndarray  # (N,) bool
+    i: jnp.ndarray  # (N,) int32 resumable position
+    prev: jnp.ndarray  # (N, P, 3) surviving intervals
+    prev_info: jnp.ndarray  # (N, P) int64
+    n_prev: jnp.ndarray  # (N,) int32
+    last_start: jnp.ndarray  # (N,) int64
+    active: jnp.ndarray  # (N,) bool
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def backward_pass(fm: DeviceFMIndex, qrows: jnp.ndarray, prev: jnp.ndarray,
-                  prev_info: jnp.ndarray, n_prev: jnp.ndarray,
-                  x0: jnp.ndarray, min_intv: jnp.ndarray) -> BwdOut:
-    """Backward MEM collection for N independent (read, call) lanes.
+@functools.partial(jax.jit, static_argnums=(0, 8))
+def backward_segment(fm: DeviceFMIndex, qrows: jnp.ndarray, prev: jnp.ndarray,
+                     prev_info: jnp.ndarray, n_prev: jnp.ndarray,
+                     i0: jnp.ndarray, min_intv: jnp.ndarray,
+                     last_start: jnp.ndarray, max_steps: int) -> BwdOut:
+    """Run up to max_steps backward iterations for N (read, call) lanes.
 
-    qrows: (N, L) uint8 query rows; prev: (N, P_CAP, 3) int64 forward
-    intervals in reversed push order (longest match first); prev_info:
-    (N, P_CAP) int64; n_prev: (N,); x0: (N,) the call's start position.
-    """
+    Lanes die at different times; the caller compacts survivors between
+    segments so dead lanes stop consuming lockstep compute. qrows: (N, L)
+    uint8; prev: (N, P, 3) idt reversed-push-order forward intervals;
+    i0: (N,) the next backward position; last_start: (N,) the containment
+    guard state (1<<62 when no mem emitted yet)."""
     N, L = qrows.shape
+    P = prev.shape[1]
     rows = jnp.arange(N)
+    lanes = jnp.arange(P)
 
     state = dict(
-        i=(x0 - 1).astype(jnp.int32),
-        prev=prev, prev_info=prev_info, n_prev=n_prev.astype(jnp.int32),
-        mems=jnp.zeros((N, M_CAP, 3), jnp.int64),
+        i=i0.astype(jnp.int32),
+        prev=prev.astype(fm.idt), prev_info=prev_info,
+        n_prev=n_prev.astype(jnp.int32),
+        mems=jnp.zeros((N, M_CAP, 3), fm.idt),
         mem_infos=jnp.zeros((N, M_CAP), jnp.int64),
         n_mems=jnp.zeros(N, jnp.int32),
-        last_start=jnp.full(N, jnp.int64(1) << 62),  # +inf: "mems empty"
+        last_start=last_start.astype(jnp.int64),
         active=n_prev > 0,
         overflow=jnp.zeros(N, bool),
+        steps=jnp.int32(0),
     )
-
-    lanes = jnp.arange(P_CAP)
 
     def body(st):
         i = st["i"]
@@ -232,8 +242,7 @@ def backward_pass(fm: DeviceFMIndex, qrows: jnp.ndarray, prev: jnp.ndarray,
         okc = ok[rows[:, None], lanes[None, :], c[:, None], :]  # (N, P, 3)
         keeper = live & has_c[:, None] & (okc[:, :, 2] >= min_intv[:, None])
 
-        # mem emission: first entry fails extension (or no base) ->
-        # curr empty at j=0 -> push prev[0] unless contained
+        # mem emission: the first (longest-match) entry fails -> push prev[0]
         first_fails = act & live[:, 0] & ~keeper[:, 0]
         not_contained = (i + 1) < st["last_start"]
         emit = first_fails & not_contained
@@ -250,22 +259,18 @@ def backward_pass(fm: DeviceFMIndex, qrows: jnp.ndarray, prev: jnp.ndarray,
         st["overflow"] = st["overflow"] | mem_ov
 
         # survivors: keepers with consecutive duplicate sizes collapsed
-        # (compare each keeper's size to the previous keeper's size)
-        # previous keeper index for each lane
         kidx = jnp.where(keeper, lanes[None, :], -1)
         prev_kidx = jax.lax.associative_scan(jnp.maximum, kidx, axis=1)
         prev_kidx = jnp.concatenate(
             [jnp.full((N, 1), -1), prev_kidx[:, :-1]], axis=1)
         prev_size = jnp.take_along_axis(
             okc[:, :, 2], jnp.maximum(prev_kidx, 0), axis=1)
-        append = keeper & ((prev_kidx < 0)
-                           | (okc[:, :, 2] != prev_size))
-        # compact appended entries to the front
+        append = keeper & ((prev_kidx < 0) | (okc[:, :, 2] != prev_size))
         pos = jnp.cumsum(append.astype(jnp.int32), axis=1) - 1
         n_new = append.sum(axis=1).astype(jnp.int32)
         new_prev = jnp.zeros_like(st["prev"])
         new_info = jnp.zeros_like(st["prev_info"])
-        scatter_pos = jnp.where(append, pos, P_CAP)  # P_CAP = dropped
+        scatter_pos = jnp.where(append, pos, P)  # P = dropped
         new_prev = new_prev.at[rows[:, None], scatter_pos].set(okc, mode="drop")
         new_info = new_info.at[rows[:, None], scatter_pos].set(
             st["prev_info"], mode="drop")
@@ -276,14 +281,74 @@ def backward_pass(fm: DeviceFMIndex, qrows: jnp.ndarray, prev: jnp.ndarray,
         st["n_prev"] = jnp.where(cont, n_new, st["n_prev"])
         st["active"] = cont & (i >= 0)
         st["i"] = jnp.where(st["active"], i - 1, i)
+        st["steps"] = st["steps"] + 1
         return st
 
     def cond(st):
-        return jnp.any(st["active"])
+        return jnp.any(st["active"]) & (st["steps"] < max_steps)
 
     state = jax.lax.while_loop(cond, body, state)
     return BwdOut(state["mems"], state["mem_infos"], state["n_mems"],
-                  state["overflow"])
+                  state["overflow"], state["i"], state["prev"],
+                  state["prev_info"], state["n_prev"], state["last_start"],
+                  state["active"])
+
+
+def run_backward(fm: DeviceFMIndex, qrows_np, prev_np, prev_info_np, n_prev_np,
+                 x0_np, min_intv_np, seg_steps: int = 12):
+    """Segmented backward driver with host compaction of dead lanes.
+
+    Returns (per-lane mem lists in emission order, overflow mask) for the
+    ORIGINAL lane indexing. numpy inputs; lanes beyond real count must have
+    n_prev == 0."""
+    import numpy as np
+
+    N0 = len(n_prev_np)
+    out_mems = [[] for _ in range(N0)]
+    overflow = np.zeros(N0, bool)
+    lane_ids = np.arange(N0)
+    qrows, prev, prev_info = qrows_np, prev_np, prev_info_np
+    n_prev = n_prev_np
+    i_cur = x0_np.astype(np.int32) - 1
+    last_start = np.full(N0, 1 << 62, np.int64)
+    minv = min_intv_np
+    while True:
+        live = n_prev > 0
+        if not live.any():
+            break
+        # compact
+        sel = np.nonzero(live)[0]
+        pad = 1 << max(4, (len(sel) - 1).bit_length())
+        idxs = np.concatenate([sel, np.zeros(pad - len(sel), np.int64)])
+        padmask = np.arange(pad) < len(sel)
+        seg = backward_segment(
+            fm, jnp.asarray(qrows[idxs]), jnp.asarray(prev[idxs]),
+            jnp.asarray(prev_info[idxs]),
+            jnp.asarray(np.where(padmask, n_prev[idxs], 0)),
+            jnp.asarray(np.where(padmask, i_cur[idxs], -1)),
+            jnp.asarray(minv[idxs]), jnp.asarray(last_start[idxs]), seg_steps)
+        mems = np.asarray(seg.mems)
+        infos = np.asarray(seg.mem_infos)
+        nm = np.asarray(seg.n_mems)
+        ov = np.asarray(seg.overflow)
+        for ln in range(len(sel)):
+            oid = lane_ids[sel[ln]]
+            for j in range(nm[ln]):
+                out_mems[oid].append((int(mems[ln, j, 0]), int(mems[ln, j, 1]),
+                                      int(mems[ln, j, 2]), int(infos[ln, j])))
+            if ov[ln]:
+                overflow[oid] = True
+        # write back survivor state into the original-slot arrays
+        qrows = qrows[idxs]
+        prev = np.asarray(seg.prev)
+        prev_info = np.asarray(seg.prev_info)
+        act = np.asarray(seg.active)
+        n_prev = np.where(act & padmask, np.asarray(seg.n_prev), 0)
+        i_cur = np.asarray(seg.i)
+        last_start = np.asarray(seg.last_start)
+        minv = minv[idxs]
+        lane_ids = lane_ids[idxs]
+    return out_mems, overflow
 
 
 class Pass3Out(NamedTuple):
@@ -304,8 +369,8 @@ def pass3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     state = dict(
         x=jnp.zeros(B, jnp.int32), i=jnp.zeros(B, jnp.int32),
         kind=jnp.full(B, SEEK, jnp.int32),
-        ik=jnp.zeros((B, 3), jnp.int64),
-        seeds=jnp.zeros((B, S3_CAP, 3), jnp.int64),
+        ik=jnp.zeros((B, 3), fm.idt),
+        seeds=jnp.zeros((B, S3_CAP, 3), fm.idt),
         infos=jnp.zeros((B, S3_CAP), jnp.int64),
         n=jnp.zeros(B, jnp.int32),
         overflow=jnp.zeros(B, bool),

@@ -36,6 +36,44 @@ class DeviceSeeder:
         self.dfm = dfm
         self.opt = opt
 
+    def _run_backward_for_calls(self, q, call_list, ivals, infos, fallback,
+                                fb_map=None):
+        """call_list: (row, push_start, push_len, x, min_intv) per lane where
+        row indexes into q/ivals/infos. Returns per-lane mem lists (emission
+        order). fb_map maps row -> original read for fallback marking."""
+        P = seeding.P_CAP
+        N = len(call_list)
+        if N == 0:
+            return []
+        L = q.shape[1]
+        prev = np.zeros((N, P, 3), dtype=self.dfm.np_idt)
+        pinfo = np.zeros((N, P), dtype=np.int64)
+        n_prev = np.zeros(N, dtype=np.int32)
+        x0 = np.zeros(N, dtype=np.int32)
+        minv = np.ones(N, dtype=np.int64)
+        qrows = np.zeros((N, L), dtype=np.uint8)
+
+        def mark(row):
+            fallback[fb_map[row] if fb_map is not None else row] = True
+
+        for ln, (row, s0, ll, x, mi) in enumerate(call_list):
+            if ll > P:
+                mark(row)
+                ll = 0
+            if ll:
+                # reversed push order: longest match (last pushed) first
+                prev[ln, :ll] = ivals[row, s0 + ll - 1 : (s0 - 1 if s0 else None) : -1]
+                pinfo[ln, :ll] = infos[row, s0 + ll - 1 : (s0 - 1 if s0 else None) : -1]
+            n_prev[ln] = ll
+            x0[ln] = x
+            minv[ln] = mi
+            qrows[ln] = q[row]
+        mems, overflow = seeding.run_backward(self.dfm, qrows, prev, pinfo,
+                                              n_prev, x0, minv)
+        for ln in np.nonzero(overflow)[0]:
+            mark(call_list[ln][0])
+        return mems
+
     def collect_batch(self, qs: List[np.ndarray]
                       ) -> Tuple[List[Optional[List[tuple]]], np.ndarray]:
         """Returns (per-read interval lists, fallback_mask). Lists are None
@@ -59,54 +97,18 @@ class DeviceSeeder:
         ivals = np.asarray(fwd.ivals)
         infos = np.asarray(fwd.infos)
 
-        def build_bwd_lanes(reads_calls):
-            """reads_calls: list of (read, start_idx, length, x, min_intv)."""
-            N = max(len(reads_calls), 1)
-            prev = np.zeros((N, seeding.P_CAP, 3), dtype=np.int64)
-            pinfo = np.zeros((N, seeding.P_CAP), dtype=np.int64)
-            n_prev = np.zeros(N, dtype=np.int32)
-            x0 = np.zeros(N, dtype=np.int32)
-            minv = np.ones(N, dtype=np.int64)
-            qrows = np.zeros((N, q.shape[1]), dtype=np.uint8)
-            lane_read = np.zeros(N, dtype=np.int32)
-            for ln, (b, s0, ll, x, mi) in enumerate(reads_calls):
-                if ll > seeding.P_CAP:
-                    fallback[b] = True
-                    ll = 0
-                # reversed push order: longest match (last pushed) first
-                prev[ln, :ll] = ivals[b, s0 + ll - 1 : (s0 - 1 if s0 else None) : -1]
-                pinfo[ln, :ll] = infos[b, s0 + ll - 1 : (s0 - 1 if s0 else None) : -1]
-                n_prev[ln] = ll
-                x0[ln] = x
-                minv[ln] = mi
-                qrows[ln] = q[b]
-                lane_read[ln] = b
-            return (jnp.asarray(qrows), jnp.asarray(prev), jnp.asarray(pinfo),
-                    jnp.asarray(n_prev), jnp.asarray(x0), jnp.asarray(minv),
-                    lane_read)
-
-        lanes1 = []
-        for b in range(B):
-            for cidx in range(n_calls[b]):
-                lanes1.append((b, call_start[b, cidx], call_len[b, cidx],
-                               call_x[b, cidx], 1))
-        qr, pv, pi, npv, x0, mi, lane_read1 = build_bwd_lanes(lanes1)
-        bwd1 = seeding.backward_pass(self.dfm, qr, pv, pi, npv, x0, mi)
-        for lane in np.nonzero(np.asarray(bwd1.overflow))[0]:
-            fallback[lane_read1[lane]] = True
-        # lanes1 order is (read, call) ascending = the C call order
+        lanes1 = [(b, call_start[b, c], call_len[b, c], call_x[b, c], 1)
+                  for b in range(B) for c in range(n_calls[b])]
+        mems_l1 = self._run_backward_for_calls(q, lanes1, ivals, infos,
+                                               fallback)
         pass1 = [[] for _ in range(B)]
-        mems1 = np.asarray(bwd1.mems)
-        infos1 = np.asarray(bwd1.mem_infos)
-        nm1 = np.asarray(bwd1.n_mems)
-        for lane in range(len(lanes1)):
-            b = lanes1[lane][0]
-            for j in range(nm1[lane] - 1, -1, -1):
-                info = int(infos1[lane, j])
-                slen = (info & 0xFFFFFFFF) - (info >> 32)
+        for ln, lane in enumerate(lanes1):
+            b = lane[0]
+            # emission order is start-descending; reverse per call
+            for iv in reversed(mems_l1[ln]):
+                slen = (iv[3] & 0xFFFFFFFF) - (iv[3] >> 32)
                 if slen >= opt.min_seed_len:
-                    pass1[b].append((int(mems1[lane, j, 0]), int(mems1[lane, j, 1]),
-                                     int(mems1[lane, j, 2]), info))
+                    pass1[b].append(iv)
 
         # ---- pass 2: re-seed long low-occ SMEMs from their midpoint ----
         split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
@@ -119,8 +121,8 @@ class DeviceSeeder:
                 lanes2.append((b, (start + end) >> 1, iv[2] + 1))
         pass2 = [[] for _ in range(B)]
         if lanes2:
-            B2 = len(lanes2)
-            q2 = np.zeros((B2, q.shape[1]), dtype=np.uint8)
+            B2 = 1 << max(4, (len(lanes2) - 1).bit_length())
+            q2 = np.full((B2, q.shape[1]), 4, dtype=np.uint8)
             starts2 = np.zeros(B2, dtype=np.int32)
             min2 = np.ones(B2, dtype=np.int64)
             lens2 = np.zeros(B2, dtype=np.int32)
@@ -129,57 +131,35 @@ class DeviceSeeder:
                 lens2[ln] = lens[b]
                 starts2[ln] = x
                 min2[ln] = mi
-            import jax.numpy as jnp2
-
-            fwd2 = seeding.forward_pass(self.dfm, jnp2.asarray(q2),
-                                        jnp2.asarray(lens2), jnp2.asarray(min2),
-                                        False, jnp2.asarray(starts2))
+            fwd2 = seeding.forward_pass(self.dfm, jnp.asarray(q2),
+                                        jnp.asarray(lens2), jnp.asarray(min2),
+                                        False, jnp.asarray(starts2))
             for ln in np.nonzero(np.asarray(fwd2.overflow))[0]:
-                fallback[lanes2[ln][0]] = True
+                if ln < len(lanes2):
+                    fallback[lanes2[ln][0]] = True
             f2_ncalls = np.asarray(fwd2.n_calls)
             f2_start = np.asarray(fwd2.call_start)
             f2_len = np.asarray(fwd2.call_len)
             f2_x = np.asarray(fwd2.call_x)
             f2_iv = np.asarray(fwd2.ivals)
             f2_info = np.asarray(fwd2.infos)
-            # build backward lanes (single call per lane)
-            N2 = B2
-            prev = np.zeros((N2, seeding.P_CAP, 3), dtype=np.int64)
-            pinfo = np.zeros((N2, seeding.P_CAP), dtype=np.int64)
-            n_prev = np.zeros(N2, dtype=np.int32)
-            x0 = np.zeros(N2, dtype=np.int32)
-            minv = np.ones(N2, dtype=np.int64)
-            for ln in range(B2):
+            lanes2b = []
+            lane2_src = []
+            for ln in range(len(lanes2)):
                 b = lanes2[ln][0]
                 if f2_ncalls[ln] == 0:
                     continue  # ambiguous start: no mems
-                ll = f2_len[ln, 0]
-                s0 = f2_start[ln, 0]
-                if ll > seeding.P_CAP:
-                    fallback[b] = True
-                    ll = 0
-                prev[ln, :ll] = f2_iv[ln, s0 + ll - 1 : (s0 - 1 if s0 else None) : -1]
-                pinfo[ln, :ll] = f2_info[ln, s0 + ll - 1 : (s0 - 1 if s0 else None) : -1]
-                n_prev[ln] = ll
-                x0[ln] = f2_x[ln, 0]
-                minv[ln] = lanes2[ln][2]
-            bwd2 = seeding.backward_pass(self.dfm, jnp2.asarray(q2),
-                                         jnp2.asarray(prev), jnp2.asarray(pinfo),
-                                         jnp2.asarray(n_prev), jnp2.asarray(x0),
-                                         jnp2.asarray(minv))
-            m2 = np.asarray(bwd2.mems)
-            i2 = np.asarray(bwd2.mem_infos)
-            nm2 = np.asarray(bwd2.n_mems)
-            for ln in np.nonzero(np.asarray(bwd2.overflow))[0]:
-                fallback[lanes2[ln][0]] = True
-            for ln in range(B2):
-                b = lanes2[ln][0]
-                for j in range(nm2[ln] - 1, -1, -1):
-                    info = int(i2[ln, j])
-                    slen = (info & 0xFFFFFFFF) - (info >> 32)
+                lanes2b.append((ln, f2_start[ln, 0], f2_len[ln, 0],
+                                f2_x[ln, 0], lanes2[ln][2]))
+                lane2_src.append(b)
+            fb_map = {ln: lanes2[ln][0] for ln in range(len(lanes2))}
+            mems_l2 = self._run_backward_for_calls(q2, lanes2b, f2_iv,
+                                                   f2_info, fallback, fb_map)
+            for k, b in enumerate(lane2_src):
+                for iv in reversed(mems_l2[k]):
+                    slen = (iv[3] & 0xFFFFFFFF) - (iv[3] >> 32)
                     if slen >= opt.min_seed_len:
-                        pass2[b].append((int(m2[ln, j, 0]), int(m2[ln, j, 1]),
-                                         int(m2[ln, j, 2]), info))
+                        pass2[b].append(iv)
 
         # ---- pass 3 ----
         pass3_out = [[] for _ in range(B)]
