@@ -1,0 +1,297 @@
+"""Command-line interface with the mpiBWA option surface.
+
+Usage:
+  python -m mpibwa_tpu.cli mem [options] <ref> <R1.fastq> [R2.fastq]
+  python -m mpibwa_tpu.cli index <ref.fasta>         (bwa index equivalent)
+  python -m mpibwa_tpu.cli idx <ref.fasta>           (mpiBWAIdx equivalent)
+
+The mem options replicate mainParallel.c:291-396 (bwa-mem surface + the
+tool flags -o/-f/-b/-g/-K/-z); -z is accepted as a placement hint (index
+replication granularity) and currently informational on a single host.
+"""
+
+from __future__ import annotations
+
+import getopt
+import math
+import sys
+
+from mpibwa_tpu.core import opts as O
+from mpibwa_tpu.core.opts import apply_preset, mem_opt_init
+from mpibwa_tpu.io import headers as hdr
+
+
+def _split_two(arg: str):
+    """bwa's 'INT[,INT]' parser (strtol, then punct + digit check)."""
+    i = 1 if arg[:1] in ("+", "-") else 0
+    while i < len(arg) and arg[i].isdigit():
+        i += 1
+    v1 = int(arg[:i])
+    if (i < len(arg) and not arg[i].isalnum() and i + 1 < len(arg)
+            and arg[i + 1].isdigit()):
+        j = i + 1
+        while j < len(arg) and arg[j].isdigit():
+            j += 1
+        return v1, int(arg[i + 1 : j])
+    return v1, None
+
+
+def main_mem(argv, by_chr: bool = False):
+    opt = mem_opt_init()
+    explicitly = set()
+    mode = None
+    file_out = None
+    write_format = 2  # SAM
+    dofixmate = False
+    copy_comment = False
+    fixed_chunk_size = 0
+    hdr_line = None
+    rg_line = None
+    rg_id = ""
+    shared_mem = None
+    ignore_alt = False
+    pes0 = None
+    use_device = True
+
+    optstr = "bg51qpaMCSPVYjk:K:c:v:s:r:t:R:A:B:O:E:U:w:L:d:T:Q:D:m:I:N:W:x:G:h:y:X:H:o:z:f"
+    try:
+        optlist, args = getopt.getopt(argv, optstr)
+    except getopt.GetoptError as e:
+        print(f"option error: {e}", file=sys.stderr)
+        return 1
+
+    def seti(name, v):
+        setattr(opt, name, v)
+        explicitly.add(name)
+
+    for c, a in optlist:
+        c = c[1:]
+        if c == "k":
+            seti("min_seed_len", int(a))
+        elif c == "1":
+            pass
+        elif c == "x":
+            mode = a
+        elif c == "w":
+            seti("w", int(a))
+        elif c == "A":
+            seti("a", int(a))
+        elif c == "B":
+            seti("b", int(a))
+        elif c == "b":
+            write_format = 1
+        elif c == "g":
+            write_format = 0
+        elif c == "z":
+            shared_mem = a
+        elif c == "T":
+            seti("T", int(a))
+        elif c == "U":
+            seti("pen_unpaired", int(a))
+        elif c == "t":
+            opt.n_threads = max(int(a), 1)
+        elif c == "P":
+            opt.flag |= O.MEM_F_NOPAIRING
+        elif c == "a":
+            opt.flag |= O.MEM_F_ALL
+        elif c == "p":
+            opt.flag |= O.MEM_F_PE | O.MEM_F_SMARTPE
+        elif c == "M":
+            opt.flag |= O.MEM_F_NO_MULTI
+        elif c == "S":
+            opt.flag |= O.MEM_F_NO_RESCUE
+        elif c == "Y":
+            opt.flag |= O.MEM_F_SOFTCLIP
+        elif c == "V":
+            opt.flag |= O.MEM_F_REF_HDR
+        elif c == "5":
+            opt.flag |= O.MEM_F_PRIMARY5 | O.MEM_F_KEEP_SUPP_MAPQ
+        elif c == "q":
+            opt.flag |= O.MEM_F_KEEP_SUPP_MAPQ
+        elif c == "c":
+            seti("max_occ", int(a))
+        elif c == "d":
+            seti("zdrop", int(a))
+        elif c == "v":
+            pass  # verbosity
+        elif c == "j":
+            ignore_alt = True
+        elif c == "r":
+            seti("split_factor", float(a))
+        elif c == "D":
+            seti("drop_ratio", float(a))
+        elif c == "m":
+            seti("max_matesw", int(a))
+        elif c == "s":
+            seti("split_width", int(a))
+        elif c == "G":
+            seti("max_chain_gap", int(a))
+        elif c == "N":
+            seti("max_chain_extend", int(a))
+        elif c == "W":
+            seti("min_chain_weight", int(a))
+        elif c == "y":
+            seti("max_mem_intv", int(a))
+        elif c == "C":
+            copy_comment = True
+        elif c == "K":
+            fixed_chunk_size = int(a)
+        elif c == "X":
+            opt.mask_level = float(a)
+        elif c == "h":
+            explicitly.add("max_XA_hits")
+            explicitly.add("max_XA_hits_alt")
+            parts = a.replace(";", ",").split(",")
+            opt.max_XA_hits = opt.max_XA_hits_alt = int(parts[0])
+            if len(parts) > 1 and parts[1]:
+                opt.max_XA_hits_alt = int(parts[1])
+        elif c == "Q":
+            explicitly.add("mapQ_coef_len")
+            opt.mapQ_coef_len = float(int(a))
+            opt.mapQ_coef_fac = int(math.log(opt.mapQ_coef_len)) \
+                if opt.mapQ_coef_len > 0 else 0
+        elif c == "O":
+            explicitly.add("o_del")
+            explicitly.add("o_ins")
+            v1, v2 = _split_two(a)
+            opt.o_del = opt.o_ins = v1
+            if v2 is not None:
+                opt.o_ins = v2
+        elif c == "E":
+            explicitly.add("e_del")
+            explicitly.add("e_ins")
+            v1, v2 = _split_two(a)
+            opt.e_del = opt.e_ins = v1
+            if v2 is not None:
+                opt.e_ins = v2
+        elif c == "L":
+            explicitly.add("pen_clip5")
+            explicitly.add("pen_clip3")
+            v1, v2 = _split_two(a)
+            opt.pen_clip5 = opt.pen_clip3 = v1
+            if v2 is not None:
+                opt.pen_clip3 = v2
+        elif c == "R":
+            rg_line, rg_id = hdr.bwa_set_rg(a)
+        elif c == "H":
+            if a.startswith("@"):
+                hdr_line = hdr.insert_header(a, hdr_line)
+            else:
+                with open(a) as fh:
+                    for line in fh:
+                        hdr_line = hdr.insert_header(line.rstrip("\n"), hdr_line)
+        elif c == "I":
+            from mpibwa_tpu.core.pair import PEStat
+
+            pes0 = [PEStat(failed=1) for _ in range(4)]
+            parts = a.replace(";", ",").split(",")
+            p = pes0[1]
+            p.failed = 0
+            p.avg = float(parts[0])
+            p.std = p.avg * 0.1
+            if len(parts) > 1 and parts[1]:
+                p.std = float(parts[1])
+            p.high = int(p.avg + 4.0 * p.std + 0.499)
+            p.low = max(int(p.avg - 4.0 * p.std + 0.499), 1)
+            if len(parts) > 2 and parts[2]:
+                p.high = int(float(parts[2]) + 0.499)
+            if len(parts) > 3 and parts[3]:
+                p.low = int(float(parts[3]) + 0.499)
+        elif c == "o":
+            file_out = a
+        elif c == "f":
+            dofixmate = True
+        else:
+            return 1
+
+    if fixed_chunk_size <= 0:
+        fixed_chunk_size = opt.chunk_size * opt.n_threads
+    if mode is not None:
+        apply_preset(opt, mode, explicitly)
+    else:
+        from mpibwa_tpu.core.opts import rescale_by_a
+
+        rescale_by_a(opt, explicitly, preset=None)
+    opt.mat = O.fill_scmat(opt.a, opt.b)
+    opt.round_float_fields()
+
+    if len(args) not in (2, 3) or file_out is None:
+        print("usage: mem [options] -o OUT REF R1.fastq [R2.fastq]",
+              file=sys.stderr)
+        return 1
+    ref, r1 = args[0], args[1]
+    r2 = args[2] if len(args) == 3 else None
+    pg_line = hdr.make_pg_line(["mpibwa-tpu", "mem"] + list(argv))
+
+    from mpibwa_tpu.index.format import load_image, load_index
+    import os
+
+    if os.path.exists(ref + ".tpumap"):
+        idx = load_image(ref + ".tpumap")
+    else:
+        idx = load_index(ref)
+    if ignore_alt:
+        for a_ in idx.anns:
+            a_.is_alt = 0
+
+    from mpibwa_tpu.parallel.runtime import Runtime
+
+    rt = Runtime(idx, opt, use_device=use_device,
+                 fixed_chunk_size=fixed_chunk_size)
+    if by_chr:
+        paths = rt.run_by_chr(r1, r2, file_out, write_format, dofixmate,
+                              hdr_line, rg_line, pg_line, rg_id, copy_comment,
+                              pes0)
+        print(f"wrote {len(paths)} by-chromosome outputs under {file_out}",
+              file=sys.stderr)
+    else:
+        path = rt.run(r1, r2, file_out, write_format, dofixmate, hdr_line,
+                      rg_line, pg_line, rg_id, copy_comment, pes0)
+        print(f"output written to {path}", file=sys.stderr)
+    return 0
+
+
+def main_index(argv):
+    from mpibwa_tpu.index.build import build_index
+
+    if not argv:
+        print("usage: index <ref.fasta>", file=sys.stderr)
+        return 1
+    build_index(argv[0])
+    return 0
+
+
+def main_idx(argv):
+    """mpiBWAIdx equivalent: pack the index into the flat image."""
+    from mpibwa_tpu.index.format import load_index, save_image
+
+    if not argv:
+        print("usage: idx <ref.fasta>", file=sys.stderr)
+        return 1
+    idx = load_index(argv[0])
+    save_image(idx, argv[0] + ".tpumap")
+    print(f"wrote {argv[0]}.tpumap", file=sys.stderr)
+    return 0
+
+
+def main(argv=None):
+    argv = argv if argv is not None else sys.argv[1:]
+    if not argv:
+        print("usage: mpibwa-tpu {mem|index|idx} ...", file=sys.stderr)
+        return 1
+    cmd, rest = argv[0], argv[1:]
+    if cmd == "mem":
+        return main_mem(rest)
+    if cmd in ("membychr", "mem-by-chr"):
+        # the mpiBWAByChr binary equivalent: -o names an output directory
+        return main_mem(rest, by_chr=True)
+    if cmd == "index":
+        return main_index(rest)
+    if cmd == "idx":
+        return main_idx(rest)
+    print(f"unsupported command: {cmd}", file=sys.stderr)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

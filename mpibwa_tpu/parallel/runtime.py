@@ -1,0 +1,219 @@
+"""Streaming alignment runtime: the mpiBWA main-loop equivalent.
+
+Replaces the reference's MPI architecture with the TPU-native layout
+(SURVEY §7): deterministic base-count chunks, round-robin chunk->shard
+assignment, per-shard device pipeline, and a deterministic chunk-order
+merge through an async writer thread (the analog of write_sam_mt,
+mainParallel.c:129-199 — but with guaranteed output order).
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import List, Optional
+
+import numpy as np
+
+from mpibwa_tpu.core import opts as O
+from mpibwa_tpu.io import bgzf as bgzf_mod
+from mpibwa_tpu.io import headers as hdr_mod
+from mpibwa_tpu.io.fastq import interleave, read_fastq
+from mpibwa_tpu.io.fixmate import apply_fixmate
+from mpibwa_tpu.parallel.chunker import chunk_pe, chunk_se
+
+SAM, BAM, BGZF = 2, 1, 0  # write_format codes (mainParallel.c:225)
+
+
+class _OrderedWriter:
+    """Async writer draining (chunk_idx, payload) in chunk order."""
+
+    def __init__(self, sink):
+        self.sink = sink  # callable(bytes)
+        self.q: "queue.Queue" = queue.Queue(maxsize=8)
+        self.pending = {}
+        self.next_idx = 0
+        self.thread = threading.Thread(target=self._run, daemon=True)
+        self.thread.start()
+
+    def _run(self):
+        while True:
+            item = self.q.get()
+            if item is None:
+                break
+            idx, payload = item
+            self.pending[idx] = payload
+            while self.next_idx in self.pending:
+                self.sink(self.pending.pop(self.next_idx))
+                self.next_idx += 1
+
+    def put(self, idx: int, payload):
+        self.q.put((idx, payload))
+
+    def close(self):
+        self.q.put(None)
+        self.thread.join()
+        assert not self.pending, "writer finished with gaps"
+
+
+class Runtime:
+    """Single-host streaming runtime (multi-shard aware via shard/n_shards)."""
+
+    def __init__(self, idx, opt, use_device: bool = True,
+                 fixed_chunk_size: Optional[int] = None,
+                 shard: int = 0, n_shards: int = 1):
+        self.idx = idx
+        self.opt = opt
+        self.fixed_chunk_size = (fixed_chunk_size
+                                 or opt.chunk_size * opt.n_threads)
+        self.shard = shard
+        self.n_shards = n_shards
+        if use_device:
+            from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+            self.aligner = DeviceAligner(idx, opt)
+            self._process = self.aligner.process_seqs
+        else:
+            from mpibwa_tpu.core.fm import FMIndex
+            from mpibwa_tpu.core.pipeline import process_seqs
+            from mpibwa_tpu.core.refseq import RefSeq
+
+            fm = FMIndex.from_index(idx)
+            refs = RefSeq(idx)
+            self._process = lambda seqs, n_processed=0, pes0=None, rg_id="": \
+                process_seqs(opt, fm, refs, seqs, n_processed, pes0, rg_id)
+
+    # -- chunk planning ------------------------------------------------------
+
+    def plan(self, r1_path: str, r2_path: Optional[str], copy_comment=False):
+        """Read inputs, decide branch (untrimmed PE / trimmed PE / SE), and
+        compute deterministic chunks (mainParallel.c's three branches)."""
+        reads1 = read_fastq(r1_path, copy_comment)
+        if r2_path:
+            reads2 = read_fastq(r2_path, copy_comment)
+            # branch selection by file size equality (mainParallel.c:730)
+            untrimmed = os.path.getsize(r1_path) == os.path.getsize(r2_path)
+            sizes1 = np.array([r.l_seq for r in reads1], np.int64)
+            sizes2 = np.array([r.l_seq for r in reads2], np.int64)
+            chunks = chunk_pe(sizes1, sizes2, self.fixed_chunk_size, not untrimmed)
+            seqs = interleave(reads1, reads2)
+            return seqs, chunks, True, untrimmed
+        sizes = np.array([r.l_seq for r in reads1], np.int64)
+        chunks = chunk_se(sizes, self.fixed_chunk_size)
+        return reads1, chunks, False, False
+
+    # -- the main loop -------------------------------------------------------
+
+    def run(self, r1_path: str, r2_path: Optional[str], out_path: str,
+            write_format: int = SAM, dofixmate: bool = False,
+            hdr_line=None, rg_line=None, pg_line=None, rg_id: str = "",
+            copy_comment: bool = False, pes0=None, compression_level: int = 3):
+        opt = self.opt
+        seqs, chunks, is_pe, untrimmed = self.plan(r1_path, r2_path,
+                                                   copy_comment)
+        if is_pe:
+            opt.flag |= O.MEM_F_PE
+
+        ext = {SAM: ".sam", BAM: ".bam", BGZF: ".gz"}[write_format]
+        path = out_path + ext
+        f = open(path, "wb")
+        header = hdr_mod.sam_header(self.idx.anns, hdr_line, rg_line, pg_line)
+        if write_format == SAM:
+            f.write(header.encode())
+            sink = f.write
+        else:
+            # BAM mode here is BGZF-of-SAM-text like the reference
+            # (mainParallel.c:1509-1516, SURVEY §1-L3)
+            w = bgzf_mod.BGZFWriter(f, compression_level)
+            w.write_record(header.encode())
+            w.flush_block()
+            sink = w.write_record
+
+        writer = _OrderedWriter(sink)
+        n_processed = 0
+        for ci, ch in enumerate(chunks):
+            mult = 2 if is_pe else 1
+            lo = ch.start * mult
+            hi = (ch.start + ch.count) * mult
+            if ci % self.n_shards != self.shard:
+                n_processed += hi - lo
+                continue
+            batch = seqs[lo:hi]
+            # untrimmed PE passes n_processed = 0 per chunk
+            # (mainParallel.c:1314); trimmed/SE accumulate (:2355-2357)
+            np_arg = 0 if (is_pe and untrimmed) else n_processed
+            self._process(batch, n_processed=np_arg, pes0=pes0, rg_id=rg_id)
+            if dofixmate and is_pe:
+                apply_fixmate(batch, self.idx.anns)
+            text = "".join(s.sam for s in batch).encode()
+            for s in batch:
+                s.sam = None  # free
+            writer.put(ci, text)
+            n_processed += hi - lo
+        writer.close()
+        if write_format == SAM:
+            f.close()
+        else:
+            w.close(write_eof=True)
+            f.close()
+        return path
+
+    # -- by-chromosome output (mpiBWAByChr equivalent) -----------------------
+
+    def run_by_chr(self, r1_path: str, r2_path: Optional[str], out_dir: str,
+                   write_format: int = SAM, dofixmate: bool = False,
+                   hdr_line=None, rg_line=None, pg_line=None, rg_id: str = "",
+                   copy_comment: bool = False, pes0=None,
+                   compression_level: int = 3):
+        """One output per contig + discordant/unmapped (SURVEY §1-L5)."""
+        from mpibwa_tpu.io.bychr import ByChrRouter
+
+        opt = self.opt
+        seqs, chunks, is_pe, untrimmed = self.plan(r1_path, r2_path,
+                                                   copy_comment)
+        if is_pe:
+            opt.flag |= O.MEM_F_PE
+        router = ByChrRouter(self.idx.anns, dofixmate)
+        os.makedirs(out_dir, exist_ok=True)
+        ext = {SAM: ".sam", BAM: ".bam", BGZF: ".gz"}[write_format]
+        header = hdr_mod.sam_header(self.idx.anns, hdr_line, rg_line, pg_line)
+        sinks = []
+        for name in router.files:
+            f = open(os.path.join(out_dir, name + ext), "wb")
+            if write_format == SAM:
+                f.write(header.encode())
+                sinks.append((f, None))
+            else:
+                w = bgzf_mod.BGZFWriter(f, compression_level)
+                w.write_record(header.encode())
+                w.flush_block()
+                sinks.append((f, w))
+        n_processed = 0
+        for ci, ch in enumerate(chunks):
+            mult = 2 if is_pe else 1
+            lo, hi = ch.start * mult, (ch.start + ch.count) * mult
+            batch = seqs[lo:hi]
+            np_arg = 0 if (is_pe and untrimmed) else n_processed
+            self._process(batch, n_processed=np_arg, pes0=pes0, rg_id=rg_id)
+            if dofixmate and is_pe:
+                apply_fixmate(batch, self.idx.anns)
+            routed = router.route_text("".join(s.sam for s in batch))
+            for s in batch:
+                s.sam = None
+            for idx_f, lines in routed.items():
+                f, w = sinks[idx_f]
+                data = "".join(lines).encode()
+                if w is None:
+                    f.write(data)
+                else:
+                    for line in lines:
+                        w.write_record(line.encode())
+            n_processed += hi - lo
+        paths = []
+        for (f, w), name in zip(sinks, router.files):
+            if w is not None:
+                w.close(write_eof=True)  # per-file EOF magic (:1591-1599)
+            f.close()
+            paths.append(os.path.join(out_dir, name + ext))
+        return paths

@@ -168,6 +168,32 @@ static int run_smem(bwaidx_t *idx, mem_opt_t *opt, int argc, char **argv) {
     return 0;
 }
 
+/* fixmate over interleaved pairs: read SAM bodies from two files where
+ * records of pair i are grouped; we reuse run_mem's in-memory seqs.
+ * Mode: "fixmate <idx> <r1.fq> <r2.fq>" -- align PE then apply fixmate. */
+#include "fixmate.h"
+static int run_fixmate(bwaidx_t *idx, mem_opt_t *opt, int argc, char **argv) {
+    int n1 = 0, n2 = 0;
+    readrec_t *r1 = read_fastq(argv[0], &n1);
+    readrec_t *r2 = read_fastq(argv[1], &n2);
+    opt->flag |= MEM_F_PE;
+    int n = 2 * n1;
+    bseq1_t *seqs = calloc(n, sizeof(bseq1_t));
+    for (int i = 0; i < n1; i++) {
+        seqs[2*i].name = r1[i].name; seqs[2*i].seq = r1[i].seq;
+        seqs[2*i].qual = r1[i].qual; seqs[2*i].l_seq = r1[i].l;
+        seqs[2*i+1].name = r2[i].name; seqs[2*i+1].seq = r2[i].seq;
+        seqs[2*i+1].qual = r2[i].qual; seqs[2*i+1].l_seq = r2[i].l;
+    }
+    mem_process_seqs(opt, idx->bwt, idx->bns, idx->pac, 0, n, seqs, 0);
+    for (int i = 0; i < n1; i++) {
+        int a = 0, b = 0;
+        fixmate(0, &seqs[2*i], &seqs[2*i+1], &a, &b, idx);
+    }
+    for (int i = 0; i < n; i++) fputs(seqs[i].sam, stdout);
+    return 0;
+}
+
 /* dump filtered chains + seeds per read */
 typedef struct { int64_t rbeg; int32_t qbeg, len; int score; } orc_seed_t;
 typedef struct {
@@ -314,6 +340,7 @@ int main(int argc, char **argv) {
     if (!strcmp(mode, "smem")) return run_smem(idx, opt, argc - 3, argv + 3);
     if (!strcmp(mode, "regs")) return run_regs(idx, opt, argv[3]);
     if (!strcmp(mode, "chains")) return run_chains(idx, opt, argv[3]);
+    if (!strcmp(mode, "fixmate")) return run_fixmate(idx, opt, argc - 3, argv + 3);
     if (!strcmp(mode, "sa")) return run_sa(idx, atoi(argv[3]));
     if (!strcmp(mode, "occ")) return run_occ(idx, atoi(argv[3]));
     if (!strcmp(mode, "extend")) return run_dp(idx, opt, argv[3], 0);

@@ -1,0 +1,133 @@
+"""Runtime layer tests: chunker, BGZF, headers, fixmate, CLI, by-chr."""
+
+import gzip
+import io as _io
+import os
+import subprocess
+
+import numpy as np
+import pytest
+
+from mpibwa_tpu.io.bgzf import BGZF_EOF, BGZFWriter, bgzf_block
+from mpibwa_tpu.io.headers import bwa_set_rg, make_pg_line, sam_header
+from mpibwa_tpu.parallel.chunker import chunk_pe, chunk_se
+
+from conftest import fastq_path
+
+
+def test_chunker_boundaries():
+    sizes = np.full(10, 100)
+    chunks = chunk_se(sizes, 250)
+    # close when acc > 250: after 3 reads (300 > 250)
+    assert [(c.start, c.count) for c in chunks] == [(0, 3), (3, 3), (6, 3), (9, 1)]
+    pe = chunk_pe(np.full(6, 100), np.full(6, 100), 1000, trimmed=False)
+    # maxsiz 500; pairs of 200: closes after 3 pairs (600 > 500)
+    assert [(c.start, c.count) for c in pe] == [(0, 3), (3, 3)]
+
+
+def test_bgzf_roundtrip(tmp_path):
+    buf = _io.BytesIO()
+    w = BGZFWriter(buf, level=3)
+    recs = [f"line{i}\t{'x' * (i % 977)}\n".encode() for i in range(2000)]
+    for r in recs:
+        w.write_record(r)
+    w.close(write_eof=True)
+    data = buf.getvalue()
+    assert data.endswith(BGZF_EOF)
+    # gzip handles multi-member streams
+    assert gzip.decompress(data) == b"".join(recs)
+    # single block structure
+    blk = bgzf_block(b"hello world")
+    assert gzip.decompress(blk) == b"hello world"
+    assert blk[0:4] == b"\x1f\x8b\x08\x04"
+
+
+def test_headers():
+    class A:
+        name, length = "chr1", 1000
+
+    h = sam_header([A], hdr_line="@CO\tx", rg_line="@RG\tID:g1",
+                   pg_line=make_pg_line(["prog", "mem"]))
+    lines = h.splitlines()
+    assert lines[0] == "@SQ\tSN:chr1\tLN:1000"
+    assert lines[1] == "@CO\tx"
+    assert lines[2] == "@RG\tID:g1"
+    assert lines[3].startswith("@PG\tID:bwa\tPN:bwa\tVN:")
+    line, rid = bwa_set_rg(r"@RG\tID:grp\tSM:s")
+    assert rid == "grp" and "\tID:grp\t" in line
+    with pytest.raises(ValueError):
+        bwa_set_rg("ID:missing-at-rg")
+
+
+def test_fixmate_vs_oracle(engines_or_none, index, golden_dir):
+    """Our fixmate over our PE output must equal the oracle's fixmate over
+    the reference engine's PE output (both engines already byte-identical)."""
+    from mpibwa_tpu.core.fm import FMIndex
+    from mpibwa_tpu.core.opts import MEM_F_PE, mem_opt_init
+    from mpibwa_tpu.core.pipeline import process_seqs
+    from mpibwa_tpu.core.refseq import RefSeq
+    from mpibwa_tpu.io.fastq import interleave, read_fastq
+    from mpibwa_tpu.io.fixmate import apply_fixmate
+
+    golden = golden_dir / "pe_1k_fixmate.sam"
+    if not golden.exists():
+        pytest.skip("fixmate golden not generated")
+    fm, refs = FMIndex.from_index(index), RefSeq(index)
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_PE
+    n = 1000
+    seqs = interleave(read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=n),
+                      read_fastq(fastq_path("HCC1187C_R2_10K.fastq"), limit=n))
+    process_seqs(opt, fm, refs, seqs)
+    apply_fixmate(seqs, index.anns)
+    got = "".join(s.sam for s in seqs)
+    want = golden.read_text()
+    if got != want:
+        for g, w in zip(got.splitlines(), want.splitlines()):
+            assert g == w, f"\n got: {g[:220]}\nwant: {w[:220]}"
+        assert False, "line count mismatch"
+
+
+@pytest.fixture(scope="module")
+def engines_or_none():
+    return None
+
+
+def test_bychr_routing(index):
+    from mpibwa_tpu.io.bychr import ByChrRouter
+
+    r = ByChrRouter(index.anns, dofixmate=False)
+    assert r.files == ["chr1", "discordant", "unmapped"]
+    text = ("r1\t0\tchr1\t10\t60\t5M\t=\t20\t15\tACGTA\tIIIII\n"
+            "r2\t4\t*\t0\t0\t*\t*\t0\t0\tACGTA\tIIIII\n")
+    routed = r.route_text(text)
+    assert [l.split("\t")[0] for l in routed[0]] == ["r1"]
+    assert [l.split("\t")[0] for l in routed[2]] == ["r2"]
+    # single-contig index cannot produce discordant; simulate two contigs
+    class A:
+        def __init__(self, n):
+            self.name = n
+
+    r2 = ByChrRouter([A("c1"), A("c2")], dofixmate=False)
+    t = "x\t0\tc1\t1\t60\t5M\tc2\t9\t0\tACGTA\tIIIII\n"
+    routed = r2.route_text(t)
+    assert 0 in routed and r2.disc_idx in routed
+
+
+def test_cli_se_subset(idx_prefix, tmp_path, golden_dir):
+    """Full CLI run (host engine path via device-on-CPU) on a subset."""
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        lines = [next(f) for _ in range(400 * 4)]
+    sub.write_text("".join(lines))
+    from mpibwa_tpu import cli
+
+    out = tmp_path / "out"
+    rc = cli.main(["mem", "-o", str(out), idx_prefix, str(sub)])
+    assert rc == 0
+    text = (tmp_path / "out.sam").read_text()
+    body = text[text.index("HSQ1003"):]
+    names = {l.split()[0][1:].split("/")[0] for l in lines[::4]}
+    want = "".join(l for l in (golden_dir / "se_1k.sam").read_text()
+                   .splitlines(keepends=True) if l.split("\t", 1)[0] in names)
+    assert body == want
