@@ -119,8 +119,12 @@ class Runtime:
         path = out_path + ext
         f = open(path, "wb")
         header = hdr_mod.sam_header(self.idx.anns, hdr_line, rg_line, pg_line)
+        self.header_len = len(header)
+        if self.shard != 0:
+            header = ""  # only shard 0 carries the header (merge prepends it)
         if write_format == SAM:
-            f.write(header.encode())
+            if header:
+                f.write(header.encode())
             sink = f.write
         else:
             # BAM mode here is BGZF-of-SAM-text like the reference
@@ -131,7 +135,9 @@ class Runtime:
             sink = w.write_record
 
         writer = _OrderedWriter(sink)
+        manifest = []  # (chunk_idx, n_bytes) for this shard, in chunk order
         n_processed = 0
+        next_local = [0]
         for ci, ch in enumerate(chunks):
             mult = 2 if is_pe else 1
             lo = ch.start * mult
@@ -149,9 +155,12 @@ class Runtime:
             text = "".join(s.sam for s in batch).encode()
             for s in batch:
                 s.sam = None  # free
-            writer.put(ci, text)
+            manifest.append((ci, len(text)))
+            writer.put(next_local[0], text)  # local order = chunk order
+            next_local[0] += 1
             n_processed += hi - lo
         writer.close()
+        self.last_manifest = manifest
         if write_format == SAM:
             f.close()
         else:
@@ -217,3 +226,28 @@ class Runtime:
             f.close()
             paths.append(os.path.join(out_dir, name + ext))
         return paths
+
+
+def merge_shard_outputs(shard_paths, manifests, out_path, header_len: int):
+    """Deterministic chunk-order merge of per-shard SAM outputs.
+
+    shard_paths[k] was written by Runtime(shard=k, n_shards=K): shard 0's
+    file starts with the header; each shard then holds its chunks in chunk
+    order with byte sizes recorded in manifests[k]."""
+    entries = []  # (chunk_idx, shard, offset, nbytes)
+    for k, man in enumerate(manifests):
+        off = header_len if k == 0 else 0
+        for ci, nb in man:
+            entries.append((ci, k, off, nb))
+            off += nb
+    entries.sort()
+    files = [open(p, "rb") for p in shard_paths]
+    with open(out_path, "wb") as out:
+        head = files[0].read(header_len)
+        out.write(head)
+        for ci, k, off, nb in entries:
+            files[k].seek(off)
+            out.write(files[k].read(nb))
+    for f in files:
+        f.close()
+    return out_path

@@ -131,3 +131,31 @@ def test_cli_se_subset(idx_prefix, tmp_path, golden_dir):
     want = "".join(l for l in (golden_dir / "se_1k.sam").read_text()
                    .splitlines(keepends=True) if l.split("\t", 1)[0] in names)
     assert body == want
+
+
+def test_shard_count_invariance(idx_prefix, tmp_path, golden_dir):
+    """Chunk boundaries and merged output are invariant to shard count
+    (the reference's rank-count reproducibility, CHANGELOG:180-182)."""
+    from mpibwa_tpu.core.opts import mem_opt_init
+    from mpibwa_tpu.index.format import load_index
+    from mpibwa_tpu.parallel.runtime import Runtime, merge_shard_outputs
+
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        sub.write_text("".join(next(f) for _ in range(300 * 4)))
+    idx = load_index(idx_prefix)
+    K = 5000  # ~49 reads per chunk -> several chunks
+
+    rt1 = Runtime(idx, mem_opt_init(), use_device=True, fixed_chunk_size=K)
+    one = rt1.run(str(sub), None, str(tmp_path / "one"), 2)
+
+    outs, mans = [], []
+    hlen = None
+    for shard in range(2):
+        rt = Runtime(idx, mem_opt_init(), use_device=True,
+                     fixed_chunk_size=K, shard=shard, n_shards=2)
+        outs.append(rt.run(str(sub), None, str(tmp_path / f"p{shard}"), 2))
+        mans.append(rt.last_manifest)
+        hlen = rt.header_len
+    merged = merge_shard_outputs(outs, mans, str(tmp_path / "merged.sam"), hlen)
+    assert open(merged, "rb").read() == open(one, "rb").read()
