@@ -11,6 +11,16 @@ from .extend import ksw_global2
 INT2BASE_FWD = "ACGTN"
 INT2BASE_REV = "TGCAN"
 
+# Optional batched-DP cache (set by the device pipeline): maps
+# (query_bytes, rseq_bytes, w) -> (score, cigar). Misses fall through to the
+# scalar kernel, so exactness never depends on the cache.
+_ACTIVE_CACHE = None
+
+
+def set_cigar_cache(cache):
+    global _ACTIVE_CACHE
+    _ACTIVE_CACHE = cache
+
 
 def gen_cigar(opt, refs, query: np.ndarray, rb: int, re: int,
               w_: int = 0, want_cigar: bool = True
@@ -44,8 +54,15 @@ def gen_cigar(opt, refs, query: np.ndarray, rb: int, re: int,
         w = min(w, w_)
         min_w = abs(rlen - l_query) + 3
         w = max(w, min_w)
-        score, cigar = ksw_global2(query, rseq, opt.mat, opt.o_del, opt.e_del,
-                                   opt.o_ins, opt.e_ins, w, want_cigar)
+        hit = None
+        if want_cigar and _ACTIVE_CACHE is not None:
+            hit = _ACTIVE_CACHE.get((query.tobytes(), rseq.tobytes(), w))
+        if hit is not None:
+            score, cigar = hit
+        else:
+            score, cigar = ksw_global2(query, rseq, opt.mat, opt.o_del,
+                                       opt.e_del, opt.o_ins, opt.e_ins, w,
+                                       want_cigar)
     if not want_cigar:
         return score, None, None, None
     # NM and MD (bwa.c:171-201)

@@ -209,3 +209,42 @@ def extend_batch(qs: jnp.ndarray, ts: jnp.ndarray, qlens: jnp.ndarray,
     _, state = jax.lax.while_loop(cond, loop_body, (jnp.int32(0), state))
     return ExtendOut(state["maxv"], state["max_j"] + 1, state["max_i"] + 1,
                      state["max_ie"] + 1, state["gscore"], state["max_off"])
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9))
+def extend_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
+                       T: int, params: jnp.ndarray, o_del: int, e_del: int,
+                       o_ins: int, e_ins: int, mat: jnp.ndarray = None
+                       ) -> ExtendOut:
+    """Build extension problems on device from coordinates and run the DP.
+
+    qd: (NR, L) uint8 read batch (device-resident); coords: (B, 6) int32
+    columns (row, q_off, q_len, q_rev, r_start, t_len) where the query is
+    qd[row, q_off : q_off+q_len] (reversed if q_rev) and the target is
+    t_len reference bases from doubled-coordinate r_start, walking DOWN
+    from r_start-1 when q_rev (left extension mirrors both sequences,
+    bwamem.c:716-722). params: (B, 4) int32 (w, end_bonus, zdrop, h0).
+    Only coordinates cross the host link; sequences are gathered from the
+    device-resident read batch and packed reference."""
+    row = coords[:, 0]
+    q_off = coords[:, 1]
+    q_len = coords[:, 2]
+    q_rev = coords[:, 3] != 0
+    r_start = coords[:, 4].astype(jnp.int64)
+    t_len = coords[:, 5]
+    L = qd.shape[1]
+    jq = jnp.arange(Q, dtype=jnp.int32)[None, :]
+    qpos = jnp.where(q_rev[:, None], q_off[:, None] + q_len[:, None] - 1 - jq,
+                     q_off[:, None] + jq)
+    qvalid = jq < q_len[:, None]
+    qs = jnp.where(qvalid,
+                   qd[row[:, None], jnp.clip(qpos, 0, L - 1)], jnp.uint8(4))
+    jt = jnp.arange(T, dtype=jnp.int32)[None, :]
+    tpos = jnp.where(q_rev[:, None],
+                     r_start[:, None] - 1 - jt, r_start[:, None] + jt)
+    tvalid = jt < t_len[:, None]
+    ts = jnp.where(tvalid,
+                   fm.ref_base(jnp.clip(tpos, 0, 2 * fm.l_pac - 1))
+                   .astype(jnp.uint8), jnp.uint8(4))
+    return extend_batch(qs, ts, q_len, t_len, params, mat,
+                        o_del, e_del, o_ins, e_ins)

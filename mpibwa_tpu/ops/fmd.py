@@ -57,7 +57,22 @@ class DeviceFMIndex:
         if self.idt == jnp.int32:
             sa = sa.astype(np.int32)  # -1 sentinel preserved
         self.sa = put(sa)
+        # 2-bit packed forward reference for device-side window construction
+        self.pac = put(np.asarray(idx.pac))
+        self.l_pac = int(idx.l_pac)
         self.sa_lookup_jit = jax.jit(self.sa_lookup)
+
+    def ref_base(self, pos: jnp.ndarray) -> jnp.ndarray:
+        """Reference base at doubled-coordinate pos (bns_get_seq semantics:
+        positions >= l_pac are the reverse complement strand). pos clipped
+        into range; caller masks invalid lanes."""
+        is_rev = pos >= self.l_pac
+        p = jnp.where(is_rev, 2 * self.l_pac - 1 - pos, pos)
+        p = jnp.clip(p, 0, self.l_pac - 1)
+        byte = self.pac[(p >> 2).astype(jnp.int32)]
+        shift = (((~p) & 3) << 1).astype(jnp.uint32)
+        b = ((byte >> shift) & jnp.uint8(3)).astype(jnp.int32)
+        return jnp.where(is_rev, 3 - b, b)
 
     # -- batched occ4 --------------------------------------------------------
 

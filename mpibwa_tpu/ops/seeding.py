@@ -33,7 +33,8 @@ from .fmd import DeviceFMIndex
 
 F_CAP = 192  # max forward-pushed intervals per read (all calls)
 C_CAP = 48  # max smem1 calls per read
-P_CAP = 16  # max surviving intervals in a backward step (99%+ of calls)
+P_CAP = 16  # fast-tier interval width for the backward step (99%+ of calls)
+P_BIG = 48  # wide tier for repeat-rich calls; beyond this -> host fallback
 M_CAP = 64  # max mems per (read, call)
 S3_CAP = 24  # max pass-3 seeds per read
 

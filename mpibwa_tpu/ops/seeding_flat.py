@@ -1,0 +1,271 @@
+"""Flat-queue backward SMEM pass: compute proportional to true work.
+
+The lockstep (lane x P_CAP) backward pass wastes max_steps x padded-width
+compute on dead entries. Here the surviving intervals of ALL (read, call)
+lanes live in ONE flat array sorted by lane; every round extends exactly the
+live entries (one occ4 pair each) and applies the per-lane keep/dedup/emit
+logic of bwt.c:326-345 with segmented scans over the flat array. The host
+compacts and halves capacity as entries die, so total compute tracks the
+scalar engine's true work while staying fully batched.
+
+Differentially tested against the scalar engine (same contract as
+ops.seeding.backward_segment).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .fmd import DeviceFMIndex
+
+M_CAP = 16  # max mems per lane (overflow -> scalar fallback)
+SEG_SCHEDULE = (2, 2, 4, 8, 16, 32)  # adaptive: early rounds kill most entries
+
+
+class FlatState(NamedTuple):
+    ik: jnp.ndarray  # (E, 3)
+    info: jnp.ndarray  # (E,) int64
+    lane: jnp.ndarray  # (E,) int32, ascending
+    live: jnp.ndarray  # (E,) bool
+    i: jnp.ndarray  # (NL,) int32
+    active: jnp.ndarray  # (NL,) bool
+    last_start: jnp.ndarray  # (NL,) int64
+    minv: jnp.ndarray  # (NL,) interval dtype
+    mems: jnp.ndarray  # (NL, M_CAP, 3)
+    mem_infos: jnp.ndarray  # (NL, M_CAP) int64
+    n_mems: jnp.ndarray  # (NL,) int32
+    overflow: jnp.ndarray  # (NL,) bool
+
+
+def _seg_incl_cumsum(x: jnp.ndarray, reset: jnp.ndarray) -> jnp.ndarray:
+    """Segmented inclusive cumsum: resets at positions where reset is True."""
+
+    def comb(a, b):
+        asum, areset = a
+        bsum, breset = b
+        return jnp.where(breset, bsum, asum + bsum), areset | breset
+
+    out, _ = jax.lax.associative_scan(comb, (x, reset))
+    return out
+
+
+def _seg_last_keeper_x2(x2: jnp.ndarray, keeper: jnp.ndarray,
+                        reset: jnp.ndarray):
+    """For each position: (has_prev_keeper, x2_of_last_prev_keeper) among
+    strictly-earlier positions of the same segment."""
+
+    # inclusive scan carrying (last keeper x2, any keeper since segment start)
+    def comb3(a, b):
+        av, ah, ar = a
+        bv, bh, br = b
+        v = jnp.where(bh, bv, jnp.where(br, jnp.zeros_like(av), av))
+        h = bh | (ah & ~br)
+        r = ar | br
+        return v, h, r
+
+    v, h, _ = jax.lax.associative_scan(
+        comb3, (jnp.where(keeper, x2, 0), keeper, reset))
+    # shift right by one; a segment-start position has no previous keeper
+    pv = jnp.concatenate([jnp.zeros_like(v[:1]), v[:-1]])
+    ph = jnp.concatenate([jnp.zeros_like(h[:1]), h[:-1]])
+    ph = ph & ~reset
+    return ph, pv
+
+
+@functools.partial(jax.jit, static_argnums=(0, 3))
+def flat_rounds(fm: DeviceFMIndex, st: FlatState, qrows: jnp.ndarray,
+                n_rounds: int) -> FlatState:
+    E = st.ik.shape[0]
+    NL, L = qrows.shape
+    pos = jnp.arange(E, dtype=jnp.int32)
+    lane_start = jnp.concatenate(
+        [jnp.ones(1, bool), st.lane[1:] != st.lane[:-1]])
+
+    def body(_, st: FlatState) -> FlatState:
+        lane = st.lane
+        i_lane = st.i[lane]
+        live = st.live & st.active[lane]
+        safe_i = jnp.clip(i_lane, 0, L - 1)
+        qi = jnp.where((i_lane >= 0) & (i_lane < L),
+                       qrows[lane, safe_i], jnp.uint8(4))
+        has_c = (i_lane >= 0) & (qi < 4)
+        c = jnp.clip(qi, 0, 3).astype(jnp.int32)
+
+        ok = fm.extend(st.ik, 1)  # (E, 4, 3)
+        okc = ok[pos, c, :]
+        keeper = live & has_c & (okc[:, 2] >= st.minv[lane])
+
+        # first live entry of each lane
+        excl_live = _seg_incl_cumsum(live.astype(jnp.int32), lane_start) \
+            - live.astype(jnp.int32)
+        first_live = live & (excl_live == 0)
+
+        # mem emission: the first (longest-match) entry fails extension
+        not_contained = (i_lane + 1) < st.last_start[lane]
+        emit = first_live & ~keeper & not_contained
+        midx = jnp.minimum(st.n_mems[lane], M_CAP - 1)
+        lane_sel = jnp.where(emit, lane, NL).astype(jnp.int32)
+        info_val = st.info | ((i_lane + 1).astype(jnp.int64) << 32)
+        mems = st.mems.at[lane_sel, midx].set(st.ik, mode="drop")
+        mem_infos = st.mem_infos.at[lane_sel, midx].set(info_val, mode="drop")
+        emit_per_lane = jax.ops.segment_sum(emit.astype(jnp.int32),
+                                            lane.astype(jnp.int32),
+                                            num_segments=NL)
+        n_mems = st.n_mems + emit_per_lane
+        ov_e = emit & (st.n_mems[lane] >= M_CAP)
+        overflow = st.overflow | (jax.ops.segment_sum(
+            ov_e.astype(jnp.int32), lane.astype(jnp.int32),
+            num_segments=NL) > 0)
+        # the first-fails emission also happens for first-live entries whose
+        # lane already emitted at this i? cannot: one first_live per lane.
+        last_start = st.last_start.at[jnp.where(
+            emit, lane, NL).astype(jnp.int32)].set(
+                (i_lane + 1).astype(jnp.int64), mode="drop")
+
+        # dedup: drop a keeper whose previous keeper in the lane has the
+        # same interval size (bwt.c:338)
+        ph, pv = _seg_last_keeper_x2(okc[:, 2], keeper, lane_start)
+        append = keeper & (~ph | (okc[:, 2] != pv))
+
+        n_new = jax.ops.segment_sum(append.astype(jnp.int32),
+                                    lane.astype(jnp.int32), num_segments=NL)
+        cont = st.active & (n_new > 0)
+        new_ik = jnp.where(append[:, None], okc, st.ik)
+        new_active = cont
+        new_i = jnp.where(cont, st.i - 1, st.i)
+        return FlatState(new_ik, st.info, st.lane, append, new_i, new_active,
+                         last_start, st.minv, mems, mem_infos, n_mems,
+                         overflow)
+
+    return jax.lax.fori_loop(0, n_rounds, body, st)
+
+
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def assemble_entries(ivals: jnp.ndarray, infos: jnp.ndarray,
+                     lane_row: jnp.ndarray, lane_tbl: jnp.ndarray,
+                     E: int):
+    """Build the flat entry arrays ON DEVICE from forward-pass buffers.
+
+    lane_row: (NL,) int32 row into ivals/infos; lane_tbl: (NL, 3) int32 =
+    (push_start, push_len, entry_start). Entry j of lane ln maps to push
+    index push_start + push_len-1 - (j - entry_start) (reversed push order,
+    longest match first)."""
+    NL = lane_row.shape[0]
+    starts = lane_tbl[:, 2]
+    e_idx = jnp.arange(E, dtype=jnp.int32)
+    lane = (jnp.searchsorted(starts, e_idx, side="right") - 1).astype(jnp.int32)
+    lane = jnp.clip(lane, 0, NL - 1)
+    j_in = e_idx - starts[lane]
+    push = lane_tbl[lane, 0] + lane_tbl[lane, 1] - 1 - j_in
+    row = lane_row[lane]
+    safe = jnp.clip(push, 0, ivals.shape[1] - 1)
+    ik = ivals[row, safe]
+    info = infos[row, safe].astype(jnp.int64)
+    live = (j_in >= 0) & (j_in < lane_tbl[lane, 1])
+    return ik, info, lane, live
+
+
+@functools.partial(jax.jit, static_argnums=(4,))
+def compact_entries(st_ik, st_info, st_lane, st_live, newE: int,
+                    pad_lane: int):
+    """Stable device-side compaction: live entries to the front of a smaller
+    array. No index data crosses the host link (argsort on ~live)."""
+    E = st_live.shape[0]
+    order = jnp.argsort(~st_live, stable=True)[:newE]
+    ik = st_ik[order]
+    info = st_info[order]
+    live = st_live[order]
+    lane = jnp.where(live, st_lane[order], pad_lane).astype(jnp.int32)
+    return ik, info, lane, live
+
+
+@functools.partial(jax.jit, static_argnums=(3,))
+def flatten_mems(mems, mem_infos, n_mems, TOT: int):
+    """Compact per-lane mem buffers into one flat array of TOT entries so
+    the host pulls only real data."""
+    NL, M = mems.shape[0], mems.shape[1]
+    off = jnp.concatenate([jnp.zeros(1, n_mems.dtype),
+                           jnp.cumsum(n_mems)[:-1]])
+    j = jnp.arange(M, dtype=jnp.int32)[None, :]
+    dest = jnp.where(j < n_mems[:, None], off[:, None] + j, TOT)
+    flat = jnp.zeros((TOT, 3), mems.dtype).at[dest.reshape(-1)].set(
+        mems.reshape(-1, 3), mode="drop")
+    flat_i = jnp.zeros((TOT,), mem_infos.dtype).at[dest.reshape(-1)].set(
+        mem_infos.reshape(-1), mode="drop")
+    return flat, flat_i
+
+
+def run_backward_flat(fm: DeviceFMIndex, qrows_dev, entry_dev, n_lanes: int,
+                      x0_np, minv_np, real_lanes=None):
+    """Device-resident driver.
+
+    qrows_dev: (NL, L) uint8 jax array (NL already ladder-padded);
+    entry_dev: (ik, info, lane, live) jax arrays of ladder capacity E;
+    x0_np/minv_np: (NL,) numpy. Only O(E) bools and O(n_live) int32 index
+    vectors cross the host link per segment; mems are pulled once at the end
+    for lanes that emitted. Returns (per-lane mem lists, overflow (NL,))."""
+    NL = n_lanes
+    idt = fm.np_idt
+    ik_d, info_d, lane_d, live_d = entry_dev
+    i_d = jnp.asarray(x0_np.astype(np.int32) - 1)
+    # lanes active iff they have live entries
+    act_d = jax.ops.segment_sum(live_d.astype(jnp.int32),
+                                lane_d.astype(jnp.int32),
+                                num_segments=NL) > 0
+    ls_d = jnp.full(NL, jnp.int64(1) << 62)
+    minv_d = jnp.asarray(minv_np.astype(idt))
+    mems_d = jnp.zeros((NL, M_CAP, 3), jnp.asarray(ik_d).dtype)
+    mi_d = jnp.zeros((NL, M_CAP), jnp.int64)
+    nm_d = jnp.zeros(NL, jnp.int32)
+    ov_d = jnp.zeros(NL, bool)
+
+    def pad_cap(n):
+        c = 256
+        while c < n:
+            c <<= 2
+        return c
+
+    seg_i = 0
+    st = FlatState(ik_d, info_d, lane_d, live_d, i_d, act_d, ls_d, minv_d,
+                   mems_d, mi_d, nm_d, ov_d)
+    while True:
+        n_rounds = SEG_SCHEDULE[min(seg_i, len(SEG_SCHEDULE) - 1)]
+        seg_i += 1
+        st = flat_rounds(fm, st, qrows_dev, n_rounds)
+        n_live = int(jnp.sum(st.live))  # one scalar crosses the link
+        if n_live == 0:
+            break
+        cap = st.ik.shape[0]
+        newE = pad_cap(n_live)
+        if newE < cap:
+            ik2, info2, lane2, live2 = compact_entries(
+                st.ik, st.info, st.lane, st.live, newE, NL - 1)
+            st = FlatState(ik2, info2, lane2, live2, st.i, st.active,
+                           st.last_start, st.minv, st.mems, st.mem_infos,
+                           st.n_mems, st.overflow)
+    # final pull: flatten mems on device, ship only real entries
+    nm_np = np.minimum(np.asarray(st.n_mems), M_CAP)
+    overflow = np.asarray(st.overflow).copy()
+    out_mems = [[] for _ in range(NL)]
+    total = int(nm_np.sum())
+    if total:
+        TOT = pad_cap(total)
+        flat, flat_i = flatten_mems(st.mems, st.mem_infos,
+                                    jnp.asarray(nm_np.astype(np.int32)), TOT)
+        flat_np = np.asarray(flat)
+        fi_np = np.asarray(flat_i)
+        off = 0
+        for ln in range(NL):
+            for j in range(nm_np[ln]):
+                out_mems[ln].append(
+                    (int(flat_np[off + j, 0]), int(flat_np[off + j, 1]),
+                     int(flat_np[off + j, 2]), int(fi_np[off + j])))
+            off += nm_np[ln]
+    return out_mems, overflow

@@ -1,5 +1,9 @@
 """Streaming alignment runtime: the mpiBWA main-loop equivalent.
 
+Per-phase wall-clock timing is logged to stderr like the reference's
+per-rank "rank N :::" lines (mainParallel.c:786-790, 1238-1317, aggregate
+stats :3266-3291); gate with verbose=False.
+
 Replaces the reference's MPI architecture with the TPU-native layout
 (SURVEY §7): deterministic base-count chunks, round-robin chunk->shard
 assignment, per-shard device pipeline, and a deterministic chunk-order
@@ -11,7 +15,9 @@ from __future__ import annotations
 
 import os
 import queue
+import sys
 import threading
+import time
 from typing import List, Optional
 
 import numpy as np
@@ -62,9 +68,12 @@ class Runtime:
 
     def __init__(self, idx, opt, use_device: bool = True,
                  fixed_chunk_size: Optional[int] = None,
-                 shard: int = 0, n_shards: int = 1):
+                 shard: int = 0, n_shards: int = 1, verbose: bool = True):
         self.idx = idx
         self.opt = opt
+        self.verbose = verbose
+        self.times = {"parse": 0.0, "align": 0.0, "fixmate": 0.0,
+                      "write_enqueue": 0.0}
         self.fixed_chunk_size = (fixed_chunk_size
                                  or opt.chunk_size * opt.n_threads)
         self.shard = shard
@@ -138,6 +147,7 @@ class Runtime:
         manifest = []  # (chunk_idx, n_bytes) for this shard, in chunk order
         n_processed = 0
         next_local = [0]
+        t_start = time.time()
         for ci, ch in enumerate(chunks):
             mult = 2 if is_pe else 1
             lo = ch.start * mult
@@ -149,9 +159,17 @@ class Runtime:
             # untrimmed PE passes n_processed = 0 per chunk
             # (mainParallel.c:1314); trimmed/SE accumulate (:2355-2357)
             np_arg = 0 if (is_pe and untrimmed) else n_processed
+            t0 = time.time()
             self._process(batch, n_processed=np_arg, pes0=pes0, rg_id=rg_id)
+            self.times["align"] += time.time() - t0
+            if self.verbose:
+                print(f"shard {self.shard} ::: chunk {ci}: aligned "
+                      f"{len(batch)} reads ({time.time() - t0:.2f}s)",
+                      file=sys.stderr)
+            t0 = time.time()
             if dofixmate and is_pe:
                 apply_fixmate(batch, self.idx.anns)
+            self.times["fixmate"] += time.time() - t0
             text = "".join(s.sam for s in batch).encode()
             for s in batch:
                 s.sam = None  # free
@@ -161,6 +179,14 @@ class Runtime:
             n_processed += hi - lo
         writer.close()
         self.last_manifest = manifest
+        if self.verbose:
+            tot = time.time() - t_start
+            n_my = sum(1 for ci in range(len(chunks))
+                       if ci % self.n_shards == self.shard)
+            print(f"shard {self.shard} ::: processed {n_processed} reads, "
+                  f"{n_my}/{len(chunks)} chunks in {tot:.1f}s "
+                  f"(align {self.times['align']:.1f}s, "
+                  f"fixmate {self.times['fixmate']:.1f}s)", file=sys.stderr)
         if write_format == SAM:
             f.close()
         else:

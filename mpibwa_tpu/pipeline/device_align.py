@@ -79,6 +79,10 @@ class DeviceAligner:
         self.dfm = DeviceFMIndex(idx, device)
         self.seeder = DeviceSeeder(self.dfm, opt)
         self.stats = {"fallback_reads": 0, "ext_problems": 0, "ext_misses": 0}
+        import jax.numpy as jnp
+
+        self.mat55d = jnp.asarray(opt.mat.reshape(5, 5).astype(np.int32))
+        self._qd = None  # device read batch of the current align_regs call
 
     # -- phase 2: SA resolution ---------------------------------------------
 
@@ -112,6 +116,31 @@ class DeviceAligner:
         return caches
 
     # -- phase 4: optimistic batched extension ------------------------------
+
+    def _ext_coords_run(self, coords, params, maxq, maxt):
+        """coords: (B,6) int32 rows; params: (B,4). Returns list of tuples."""
+        import jax.numpy as jnp
+
+        from mpibwa_tpu.ops.extend_batch import extend_from_coords
+
+        opt = self.opt
+        B = len(coords)
+        if B == 0:
+            return []
+        Q = _round_up(maxq, self.Q_BUCKETS)
+        T = _round_up(maxt, self.T_BUCKETS)
+        Bp = 1 << max(4, (B - 1).bit_length())
+        c = np.zeros((Bp, 6), np.int32)
+        p = np.zeros((Bp, 4), np.int32)
+        p[:, 3] = 1  # dummy h0 > 0
+        c[:, 2] = 1  # dummy qlen
+        c[: B] = coords
+        p[: B] = params
+        out = extend_from_coords(self.dfm, self._qd, jnp.asarray(c), Q, T,
+                                 jnp.asarray(p), opt.o_del, opt.e_del,
+                                 opt.o_ins, opt.e_ins, self.mat55d)
+        res = np.stack([np.asarray(x) for x in out], axis=1)
+        return [tuple(int(v) for v in res[i]) for i in range(B)]
 
     def _ext_batch_run(self, probs):
         """probs: list of (qs, ts, w, eb, zd, h0). Returns list of 6-tuples."""
@@ -150,9 +179,8 @@ class DeviceAligner:
     def _precompute_extensions(self, chains_per_read, qs_per_read, cache: _ExtCache):
         opt = self.opt
         refs = self.refs
-        # stage 1: gather all left problems (band try 0) + chain prep
-        left_jobs = []  # (key_info, qs, ts)
-        chain_ctx = []  # per (read, chain): (rseq, rmax0, seeds_subset, query)
+        left_jobs = []  # (key_q, key_t, h0, coords-row)
+        chain_ctx = []
         for b, chains in enumerate(chains_per_read):
             if chains is None:
                 continue
@@ -178,102 +206,117 @@ class DeviceAligner:
                         rmax0 = l_pac
                 rseq, rid, rmax0, rmax1 = refs.fetch_seq(rmax0, c.seeds[0].rbeg,
                                                          rmax1)
-                # seeds in srt (score, idx) descending consumption order
                 order = sorted(range(c.n),
                                key=lambda i: (c.seeds[i].score, i), reverse=True)
                 subset = order[: self.MAX_SEEDS_PER_CHAIN]
-                chain_ctx.append((b, query, rseq, rmax0, c, subset))
+                chain_ctx.append((b, query, rseq, rmax0, rmax1, c, subset))
                 for si in subset:
                     s = c.seeds[si]
                     if s.qbeg:
-                        qrev = np.ascontiguousarray(query[s.qbeg - 1 :: -1])
                         tmp = s.rbeg - rmax0
-                        trev = np.ascontiguousarray(
-                            rseq[tmp - 1 :: -1] if tmp > 0 else rseq[:0])
-                        left_jobs.append((qrev, trev, s.len * opt.a))
+                        qkey = np.ascontiguousarray(query[s.qbeg - 1 :: -1]).tobytes()
+                        tkey = np.ascontiguousarray(
+                            rseq[tmp - 1 :: -1] if tmp > 0 else rseq[:0]).tobytes()
+                        left_jobs.append(
+                            (qkey, tkey, s.len * opt.a,
+                             (b, 0, s.qbeg, 1, s.rbeg, tmp)))
 
         def run_band_tries(jobs, eb):
-            """jobs: list of (qs, ts, h0); exact MAX_BAND_TRY semantics."""
-            results = {}
-            probs0 = [(q, t, opt.w, eb, opt.zdrop, h0) for q, t, h0 in jobs]
-            r0 = self._ext_batch_run(probs0)
-            if r0 is None:
-                return None
-            retry_idx = []
-            for i, r in enumerate(r0):
-                aw0 = opt.w
-                # break unless max_off >= (aw>>1)+(aw>>2) (score==prev
-                # impossible on the first try: prev==-1)
-                if not (r[5] < (aw0 >> 1) + (aw0 >> 2)):
-                    retry_idx.append(i)
+            """jobs: (key_q, key_t, h0, coords). Exact MAX_BAND_TRY loop."""
+            if not jobs:
+                return [], {}
+            coords = [j[3] for j in jobs]
+            maxq = max(c[2] for c in coords)
+            maxt = max(max(c[5] for c in coords), 1)
+            params = [(opt.w, eb, opt.zdrop, j[2]) for j in jobs]
+            r0 = self._ext_coords_run(coords, params, maxq, maxt)
+            retry_idx = [i for i, r in enumerate(r0)
+                         if not (r[5] < (opt.w >> 1) + (opt.w >> 2))]
             r1map = {}
             if retry_idx:
-                probs1 = [(jobs[i][0], jobs[i][1], opt.w << 1, eb, opt.zdrop,
-                           jobs[i][2]) for i in retry_idx]
-                r1 = self._ext_batch_run(probs1)
-                if r1 is None:
-                    return None
+                params1 = [(opt.w << 1, eb, opt.zdrop, jobs[i][2])
+                           for i in retry_idx]
+                r1 = self._ext_coords_run([coords[i] for i in retry_idx],
+                                          params1, maxq, maxt)
                 r1map = dict(zip(retry_idx, r1))
             return r0, r1map
 
-        lr = run_band_tries(left_jobs, opt.pen_clip5)
-        if lr is None:
-            return  # oversize problems: everything falls back to scalar
-        left_r0, left_r1 = lr
-        # fill cache with left results, compute sc0 per seed, gather rights
+        left_r0, left_r1 = run_band_tries(left_jobs, opt.pen_clip5)
         li = 0
         right_jobs = []
-        for (b, query, rseq, rmax0, c, subset) in chain_ctx:
+        for (b, query, rseq, rmax0, rmax1, c, subset) in chain_ctx:
             l_query = len(query)
             for si in subset:
                 s = c.seeds[si]
                 sc0 = s.len * opt.a
                 if s.qbeg:
-                    qrev = np.ascontiguousarray(query[s.qbeg - 1 :: -1])
-                    tmp = s.rbeg - rmax0
-                    trev = np.ascontiguousarray(
-                        rseq[tmp - 1 :: -1] if tmp > 0 else rseq[:0])
-                    h0 = s.len * opt.a
+                    qk, tk, h0, _ = left_jobs[li]
                     r0 = left_r0[li]
-                    cache.cache[cache.key(qrev, trev, opt.w, opt.pen_clip5,
-                                          opt.zdrop, h0)] = r0
+                    cache.cache[(qk, tk, opt.w, opt.pen_clip5, opt.zdrop, h0)] = r0
                     score = r0[0]
                     if li in left_r1:
                         r1 = left_r1[li]
-                        cache.cache[cache.key(qrev, trev, opt.w << 1,
-                                              opt.pen_clip5, opt.zdrop, h0)] = r1
+                        cache.cache[(qk, tk, opt.w << 1, opt.pen_clip5,
+                                     opt.zdrop, h0)] = r1
                         score = r1[0]
-                    # replicate selection to know sc0 for the right problem
-                    # (exactly the MAX_BAND_TRY loop's final a.score)
                     sc0 = score
                     li += 1
                 if s.qbeg + s.len != l_query:
                     qe = s.qbeg + s.len
                     re = s.rbeg + s.len - rmax0
-                    right_jobs.append((np.ascontiguousarray(query[qe:]),
-                                       np.ascontiguousarray(rseq[re:]), sc0))
-        rr = run_band_tries(right_jobs, opt.pen_clip3)
-        if rr is None:
-            return
-        right_r0, right_r1 = rr
-        for i, (q, t, h0) in enumerate(right_jobs):
-            cache.cache[cache.key(q, t, opt.w, opt.pen_clip3, opt.zdrop, h0)] = \
-                right_r0[i]
+                    qkey = np.ascontiguousarray(query[qe:]).tobytes()
+                    tkey = np.ascontiguousarray(rseq[re:]).tobytes()
+                    right_jobs.append(
+                        (qkey, tkey, sc0,
+                         (b, qe, l_query - qe, 0, s.rbeg + s.len,
+                          rmax1 - (s.rbeg + s.len))))
+        right_r0, right_r1 = run_band_tries(right_jobs, opt.pen_clip3)
+        for i, (qk, tk, h0, _) in enumerate(right_jobs):
+            cache.cache[(qk, tk, opt.w, opt.pen_clip3, opt.zdrop, h0)] =                 right_r0[i]
             if i in right_r1:
-                cache.cache[cache.key(q, t, opt.w << 1, opt.pen_clip3,
-                                      opt.zdrop, h0)] = right_r1[i]
+                cache.cache[(qk, tk, opt.w << 1, opt.pen_clip3, opt.zdrop,
+                             h0)] = right_r1[i]
         self.stats["ext_problems"] += len(left_jobs) + len(right_jobs)
 
     # -- the public entry ----------------------------------------------------
 
+    MICROBATCH = int(__import__("os").environ.get("MPIBWA_MICROBATCH", "2048"))
+
     def align_regs(self, seqs: List[BSeq]) -> List[List[R.AlnReg]]:
-        """Compute alignment regions for a batch (device hot loops)."""
+        """Compute alignment regions for a batch.
+
+        Internally processes fixed-size microbatches (padded with dummy
+        reads) so device shapes stay stable across chunks — shape-driven
+        recompilation otherwise dominates wall time. Exactness is
+        unaffected: per-read region lists don't depend on batch grouping
+        (only PE insert stats do, and those are computed by the caller over
+        the full chunk)."""
+        MB = self.MICROBATCH
+        if not hasattr(self, "_pending_cigar_cache"):
+            self._pending_cigar_cache = {}
+        if len(seqs) > MB:
+            out = []
+            for off in range(0, len(seqs), MB):
+                out.extend(self.align_regs(seqs[off : off + MB]))
+            return out
+        if 0 < len(seqs) < MB and len(seqs) >= 256:
+            import numpy as _np
+
+            pad_n = MB - len(seqs)
+            dummy = BSeq(name="__pad__", seq=_np.zeros(8, _np.uint8),
+                         qual="IIIIIIII")
+            padded = list(seqs) + [dummy] * pad_n
+            return self._align_regs_inner(padded)[: len(seqs)]
+        return self._align_regs_inner(seqs)
+
+    def _align_regs_inner(self, seqs: List[BSeq]) -> List[List[R.AlnReg]]:
         import time as _time
 
         t = self.stats.setdefault("t", {})
         opt, fm, refs = self.opt, self.fm, self.refs
         t0 = _time.time()
         mems, fallback = self.seeder.collect_batch([s.seq for s in seqs])
+        self._qd = self.seeder.last_qd
         t["seed"] = t.get("seed", 0) + _time.time() - t0
         self.stats["fallback_reads"] += int(fallback.sum())
         t0 = _time.time()
@@ -315,12 +358,26 @@ class DeviceAligner:
             regs_all.append(regs)
         t["final"] = t.get("final", 0) + _time.time() - t0
         self.stats["ext_misses"] += cache.misses
+        # cigar precompute must use THIS microbatch's device rows (self._qd)
+        t0 = _time.time()
+        cc = precompute_cigars(self.opt, self.refs, [s.seq for s in seqs],
+                               regs_all, self.dfm, self._qd, self.mat55d)
+        self._pending_cigar_cache.update(cc)
+        t["cigar"] = t.get("cigar", 0) + _time.time() - t0
         return regs_all
 
     def process_seqs(self, seqs: List[BSeq], n_processed: int = 0,
                      pes0=None, rg_id: str = "") -> None:
+        from mpibwa_tpu.core.cigar import set_cigar_cache
+
         opt, refs = self.opt, self.refs
+        import time as _time
+
+        self._pending_cigar_cache = {}
         regs_all = self.align_regs(seqs)
+        t = self.stats.setdefault("t", {})
+        set_cigar_cache(self._pending_cigar_cache)
+        t0 = _time.time()
         n = len(seqs)
         if opt.flag & O.MEM_F_PE:
             from mpibwa_tpu.core.pair import mem_pestat, mem_sam_pe
@@ -338,3 +395,104 @@ class DeviceAligner:
                 if opt.flag & O.MEM_F_PRIMARY5:
                     mem_reorder_primary5(opt.T, regs)
                 s.sam = mem_reg2sam(opt, refs, s, regs, 0, None, rg_id)
+        set_cigar_cache(None)
+        t["emit"] = t.get("emit", 0) + _time.time() - t0
+
+
+def prep_global_problem(opt, refs, query_full, ar):
+    """Replicate mem_reg2aln's first gen_cigar call inputs (bwa.c:120-170):
+    returns (qseq, rseq, w, rev) post-reversal, or None when the scalar
+    path's shortcut/reject branches apply."""
+    from mpibwa_tpu.core.sam import infer_bw
+
+    qb, qe, rb, re = ar.qb, ar.qe, ar.rb, ar.re
+    if ar.rb < 0 or ar.re < 0:
+        return None
+    tmp = infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_del, opt.e_del)
+    w2 = max(infer_bw(qe - qb, re - rb, ar.truesc, opt.a, opt.o_ins,
+                      opt.e_ins), tmp)
+    if w2 > opt.w:
+        w2 = min(w2, ar.w)
+    w2 = min(w2, opt.w << 2)
+    l_query = qe - qb
+    l_pac = refs.l_pac
+    if l_query <= 0 or rb >= re or (rb < l_pac and re > l_pac):
+        return None
+    rseq = refs.get_seq(rb, re)
+    rlen = len(rseq)
+    if re - rb != rlen:
+        return None
+    query = np.ascontiguousarray(query_full[qb:qe])
+    if rb >= l_pac:
+        query = query[::-1].copy()
+        rseq = rseq[::-1].copy()
+    if l_query == rlen and w2 == 0:
+        return None  # no-DP shortcut; scalar path is trivial
+    max_ins = int((((l_query + 1) >> 1) * int(opt.mat[0]) - opt.o_ins)
+                  / opt.e_ins + 1.0)
+    max_del = int((((l_query + 1) >> 1) * int(opt.mat[0]) - opt.o_del)
+                  / opt.e_del + 1.0)
+    max_gap = max(max_ins, max_del, 1)
+    w = (max_gap + abs(rlen - l_query) + 1) >> 1
+    w = min(w, w2)
+    w = max(w, abs(rlen - l_query) + 3)
+    return query, rseq, w, rb >= l_pac
+
+
+def precompute_cigars(opt, refs, qs_per_read, regs_per_read, dfm=None,
+                      qd=None, mat55d=None,
+                      q_buckets=(64, 128, 192, 256, 512),
+                      t_buckets=(64, 128, 192, 256, 512, 768)):
+    """Batch the first-round global alignments for every region on device;
+    returns the cigar cache dict consumed by core.cigar.gen_cigar."""
+    import jax.numpy as jnp
+
+    from mpibwa_tpu.ops.global_batch import global_from_coords, traceback
+
+    probs = []
+    for b, (query_full, regs) in enumerate(zip(qs_per_read, regs_per_read)):
+        for ar in regs:
+            prep = prep_global_problem(opt, refs, query_full, ar)
+            if prep is not None:
+                q, t, w, rev = prep
+                coords = ((b, ar.qb, ar.qe - ar.qb, 1, ar.re, ar.re - ar.rb)
+                          if rev else
+                          (b, ar.qb, ar.qe - ar.qb, 0, ar.rb, ar.re - ar.rb))
+                probs.append((q, t, w, coords))
+    cache = {}
+    if not probs:
+        return cache
+    # dedupe identical problems
+    uniq = {}
+    for q, t, w, coords in probs:
+        uniq.setdefault((q.tobytes(), t.tobytes(), w), (q, t, w, coords))
+    probs = list(uniq.values())
+    groups = {}
+    for q, t, w, coords in probs:
+        Q = _round_up(len(q), q_buckets)
+        T = _round_up(len(t), t_buckets)
+        groups.setdefault((Q, T), []).append((q, t, w, coords))
+    for (Q, T), items in groups.items():
+        B = len(items)
+        Bp = 1 << max(4, (B - 1).bit_length())
+        cds = np.zeros((Bp, 6), np.int32)
+        cds[:, 2] = 1  # dummy qlen
+        ws = np.full(Bp, 3, np.int32)
+        skip = set()
+        for i, (q, t, w, coords) in enumerate(items):
+            if len(q) > Q or len(t) > T:
+                skip.add(i)
+                continue
+            cds[i] = coords
+            ws[i] = w
+        out = global_from_coords(dfm, qd, jnp.asarray(cds), Q, T,
+                                 jnp.asarray(ws), opt.o_del, opt.e_del,
+                                 opt.o_ins, opt.e_ins, mat55d)
+        scores = np.asarray(out.score)
+        zs = np.asarray(out.z)
+        for i, (q, t, w, coords) in enumerate(items):
+            if i in skip:
+                continue
+            cig = traceback(zs[i], len(q), len(t), w)
+            cache[(q.tobytes(), t.tobytes(), w)] = (int(scores[i]), cig)
+    return cache

@@ -36,71 +36,91 @@ class DeviceSeeder:
         self.dfm = dfm
         self.opt = opt
 
-    def _run_backward_for_calls(self, q, call_list, ivals, infos, fallback,
-                                fb_map=None):
-        """call_list: (row, push_start, push_len, x, min_intv) per lane where
-        row indexes into q/ivals/infos. Returns per-lane mem lists (emission
-        order). fb_map maps row -> original read for fallback marking."""
-        P = seeding.P_CAP
+    def _run_backward_for_calls(self, qd, call_list, ivals_dev, infos_dev,
+                                fallback, fb_map=None):
+        """call_list: (row, push_start, push_len, x, min_intv) per lane; row
+        indexes rows of qd/ivals_dev. All heavy arrays stay on device; only
+        lane tables cross the host link. Returns per-lane mem lists."""
+        import jax.numpy as jnp
+
+        from mpibwa_tpu.ops import seeding_flat as SF
+
         N = len(call_list)
         if N == 0:
             return []
-        L = q.shape[1]
-        prev = np.zeros((N, P, 3), dtype=self.dfm.np_idt)
-        pinfo = np.zeros((N, P), dtype=np.int64)
-        n_prev = np.zeros(N, dtype=np.int32)
-        x0 = np.zeros(N, dtype=np.int32)
-        minv = np.ones(N, dtype=np.int64)
-        qrows = np.zeros((N, L), dtype=np.uint8)
 
         def mark(row):
             fallback[fb_map[row] if fb_map is not None else row] = True
 
+        def pad_cap(n):
+            c = 256
+            while c < n:
+                c <<= 2
+            return c
+
+        NLp = pad_cap(N)
+        lane_row = np.zeros(NLp, np.int32)
+        lane_tbl = np.zeros((NLp, 3), np.int32)
+        x0 = np.zeros(NLp, np.int32)
+        minv = np.ones(NLp, np.int64)
+        e = 0
         for ln, (row, s0, ll, x, mi) in enumerate(call_list):
-            if ll > P:
-                mark(row)
-                ll = 0
-            if ll:
-                # reversed push order: longest match (last pushed) first
-                prev[ln, :ll] = ivals[row, s0 + ll - 1 : (s0 - 1 if s0 else None) : -1]
-                pinfo[ln, :ll] = infos[row, s0 + ll - 1 : (s0 - 1 if s0 else None) : -1]
-            n_prev[ln] = ll
+            lane_row[ln] = row
+            lane_tbl[ln] = (s0, ll, e)
             x0[ln] = x
             minv[ln] = mi
-            qrows[ln] = q[row]
-        mems, overflow = seeding.run_backward(self.dfm, qrows, prev, pinfo,
-                                              n_prev, x0, minv)
-        for ln in np.nonzero(overflow)[0]:
+            e += ll
+        lane_tbl[N:, 2] = e  # pad lanes: zero-length at the end
+        E = pad_cap(e)
+        ik, info, lane, live = SF.assemble_entries(
+            ivals_dev, infos_dev, jnp.asarray(lane_row),
+            jnp.asarray(lane_tbl), E)
+        qrows_dev = qd[jnp.asarray(lane_row)]
+        mems, overflow = SF.run_backward_flat(self.dfm, qrows_dev,
+                                              (ik, info, lane, live), NLp,
+                                              x0, minv)
+        for ln in np.nonzero(overflow[:N])[0]:
             mark(call_list[ln][0])
-        return mems
+        return mems[:N]
 
     def collect_batch(self, qs: List[np.ndarray]
                       ) -> Tuple[List[Optional[List[tuple]]], np.ndarray]:
         """Returns (per-read interval lists, fallback_mask). Lists are None
         for reads needing host fallback."""
+        import time as _time
+
         import jax.numpy as jnp
 
+        tt = self.__dict__.setdefault("times", {})
+
+        def _mark(name, t0):
+            tt[name] = tt.get(name, 0.0) + _time.time() - t0
+            return _time.time()
+
+        t0 = _time.time()
         opt = self.opt
         B = len(qs)
         q, lens = _pad_batch(qs)
         qd = jnp.asarray(q)
+        self.last_qd = qd  # reused by the extension/cigar coord kernels
         lensd = jnp.asarray(lens)
 
         # ---- pass 1: chained smem1 calls ----
         min1 = jnp.ones(B, dtype=jnp.int64)
         fwd = seeding.forward_pass(self.dfm, qd, lensd, min1, True)
         fallback = np.asarray(fwd.overflow).copy()
+        t0 = _mark("fwd1", t0)
         n_calls = np.asarray(fwd.n_calls)
         call_x = np.asarray(fwd.call_x)
         call_start = np.asarray(fwd.call_start)
         call_len = np.asarray(fwd.call_len)
-        ivals = np.asarray(fwd.ivals)
-        infos = np.asarray(fwd.infos)
 
         lanes1 = [(b, call_start[b, c], call_len[b, c], call_x[b, c], 1)
                   for b in range(B) for c in range(n_calls[b])]
-        mems_l1 = self._run_backward_for_calls(q, lanes1, ivals, infos,
-                                               fallback)
+        t0 = _mark("tables1", t0)
+        mems_l1 = self._run_backward_for_calls(qd, lanes1, fwd.ivals,
+                                               fwd.infos, fallback)
+        t0 = _mark("bwd1", t0)
         pass1 = [[] for _ in range(B)]
         for ln, lane in enumerate(lanes1):
             b = lane[0]
@@ -131,7 +151,8 @@ class DeviceSeeder:
                 lens2[ln] = lens[b]
                 starts2[ln] = x
                 min2[ln] = mi
-            fwd2 = seeding.forward_pass(self.dfm, jnp.asarray(q2),
+            q2d = jnp.asarray(q2)
+            fwd2 = seeding.forward_pass(self.dfm, q2d,
                                         jnp.asarray(lens2), jnp.asarray(min2),
                                         False, jnp.asarray(starts2))
             for ln in np.nonzero(np.asarray(fwd2.overflow))[0]:
@@ -141,8 +162,6 @@ class DeviceSeeder:
             f2_start = np.asarray(fwd2.call_start)
             f2_len = np.asarray(fwd2.call_len)
             f2_x = np.asarray(fwd2.call_x)
-            f2_iv = np.asarray(fwd2.ivals)
-            f2_info = np.asarray(fwd2.infos)
             lanes2b = []
             lane2_src = []
             for ln in range(len(lanes2)):
@@ -153,14 +172,15 @@ class DeviceSeeder:
                                 f2_x[ln, 0], lanes2[ln][2]))
                 lane2_src.append(b)
             fb_map = {ln: lanes2[ln][0] for ln in range(len(lanes2))}
-            mems_l2 = self._run_backward_for_calls(q2, lanes2b, f2_iv,
-                                                   f2_info, fallback, fb_map)
+            mems_l2 = self._run_backward_for_calls(q2d, lanes2b, fwd2.ivals,
+                                                   fwd2.infos, fallback, fb_map)
             for k, b in enumerate(lane2_src):
                 for iv in reversed(mems_l2[k]):
                     slen = (iv[3] & 0xFFFFFFFF) - (iv[3] >> 32)
                     if slen >= opt.min_seed_len:
                         pass2[b].append(iv)
 
+        t0 = _mark("pass2", t0)
         # ---- pass 3 ----
         pass3_out = [[] for _ in range(B)]
         if opt.max_mem_intv > 0:
@@ -176,6 +196,7 @@ class DeviceSeeder:
                     pass3_out[b].append((int(s3[b, j, 0]), int(s3[b, j, 1]),
                                          int(s3[b, j, 2]), int(i3[b, j])))
 
+        t0 = _mark("pass3", t0)
         out: List[Optional[List[tuple]]] = []
         for b in range(B):
             if fallback[b]:
@@ -184,4 +205,5 @@ class DeviceSeeder:
             mem = pass1[b] + pass2[b] + pass3_out[b]
             ks_introsort(mem, lambda a, c: a[3] < c[3])
             out.append(mem)
+        _mark("sortout", t0)
         return out, fallback

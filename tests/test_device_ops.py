@@ -73,3 +73,20 @@ def test_device_collect_intv(dfm, fm, index):
         assert got[i] == want, f"device collect mismatch for {s.name}"
         n_checked += 1
     assert n_checked >= 40  # nearly all reads must take the device path
+
+
+def test_microbatch_boundary_identity(dfm, index, golden_dir):
+    """Batches crossing the internal microbatch size must not change output
+    (regression: the cigar precompute once used stale device rows)."""
+    from mpibwa_tpu.core.opts import mem_opt_init
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    al = DeviceAligner(index, mem_opt_init())
+    al.MICROBATCH = 64  # force several microbatches on a small read count
+    reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=150)
+    al.process_seqs(reads, n_processed=0)
+    got = "".join(s.sam for s in reads)
+    names = {s.name for s in reads}
+    want = "".join(l for l in (golden_dir / "se_1k.sam").read_text()
+                   .splitlines(keepends=True) if l.split("\t", 1)[0] in names)
+    assert got == want
