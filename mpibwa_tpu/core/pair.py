@@ -18,6 +18,17 @@ from .region import AlnReg, mem_approx_mapq_se, mem_mark_primary_se, \
 from .sam import Aln, mem_aln2sam, mem_gen_alt, mem_reg2aln, mem_reg2sam
 from .sortutil import hash_64, introsort_128, introsort_64
 
+# Optional batched mate-rescue cache (set by the device pipeline): maps
+# (seq_bytes, ref_bytes, xtra) -> KswR-shaped tuple. Misses fall through to
+# the scalar striped kernel.
+_SW_CACHE = None
+
+
+def set_sw_cache(cache):
+    global _SW_CACHE
+    _SW_CACHE = cache
+
+
 MIN_RATIO = 0.8
 MIN_DIR_CNT = 10
 MIN_DIR_RATIO = 0.05
@@ -157,8 +168,18 @@ def mem_matesw(opt, refs, pes: List[PEStat], a: AlnReg, l_ms: int,
             xtra = (KSW_XSUBO | KSW_XSTART
                     | (KSW_XBYTE if l_ms * opt.a < 250 else 0)
                     | (opt.min_seed_len * opt.a))
-            aln = ksw_align2(seq, ref, opt.mat, opt.o_del, opt.e_del,
-                             opt.o_ins, opt.e_ins, xtra)
+            aln = None
+            if _SW_CACHE is not None:
+                hit = _SW_CACHE.get((seq.tobytes(), ref.tobytes(), xtra))
+                if hit is not None:
+                    from types import SimpleNamespace
+
+                    aln = SimpleNamespace(score=hit[0], te=hit[1], qe=hit[2],
+                                          score2=hit[3], te2=hit[4],
+                                          tb=hit[5], qb=hit[6])
+            if aln is None:
+                aln = ksw_align2(seq, ref, opt.mat, opt.o_del, opt.e_del,
+                                 opt.o_ins, opt.e_ins, xtra)
             if aln.score >= opt.min_seed_len and aln.qb >= 0:
                 b = AlnReg()
                 b.rid = a.rid

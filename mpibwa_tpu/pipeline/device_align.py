@@ -380,14 +380,21 @@ class DeviceAligner:
         t0 = _time.time()
         n = len(seqs)
         if opt.flag & O.MEM_F_PE:
-            from mpibwa_tpu.core.pair import mem_pestat, mem_sam_pe
+            from mpibwa_tpu.core.pair import (mem_pestat, mem_sam_pe,
+                                              set_sw_cache)
 
             pes = pes0 if pes0 is not None else mem_pestat(opt, refs.l_pac,
                                                            regs_all)
+            t0 = _time.time()
+            sw_cache = precompute_rescue(opt, refs, self.dfm, seqs, regs_all,
+                                         pes)
+            t["rescue"] = t.get("rescue", 0) + _time.time() - t0
+            set_sw_cache(sw_cache)
             for i in range(n >> 1):
                 mem_sam_pe(opt, refs, pes, (n_processed >> 1) + i,
                            seqs[i << 1 : (i << 1) + 2],
                            regs_all[i << 1 : (i << 1) + 2], rg_id)
+            set_sw_cache(None)
         else:
             for i, s in enumerate(seqs):
                 regs = regs_all[i]
@@ -496,3 +503,92 @@ def precompute_cigars(opt, refs, qs_per_read, regs_per_read, dfm=None,
             cig = traceback(zs[i], len(q), len(t), w)
             cache[(q.tobytes(), t.tobytes(), w)] = (int(scores[i]), cig)
     return cache
+
+
+def precompute_rescue(opt, refs, dfm, seqs, regs_all, pes):
+    """Batch all candidate mate-rescue SW problems on device.
+
+    Enumerates exactly the ksw_align2 calls mem_sam_pe can make
+    (bwamem_pair.c:265-275 candidate lists x the four orientations whose
+    insert stats didn't fail); results are served through core.pair's cache,
+    with misses (i16 mode, clamped-window edge cases) falling back to the
+    scalar kernel. Returns the cache dict."""
+    import jax.numpy as jnp
+
+    from mpibwa_tpu.core.extend import KSW_XBYTE, KSW_XSTART, KSW_XSUBO
+    from mpibwa_tpu.ops.rescue import ksw_align2_batch
+    from mpibwa_tpu.pipeline.device_seed import _pad_batch
+
+    cache = {}
+    q_all, _lens = _pad_batch([s.seq for s in seqs])
+    qd = jnp.asarray(q_all)
+    l_pac = refs.l_pac
+    jobs = []  # (key, qcoords, tcoords)
+    maxq = 1
+    maxt = 1
+    for pi in range(len(seqs) >> 1):
+        for end in (0, 1):
+            a_list = regs_all[(pi << 1) | end]
+            if not a_list:
+                continue
+            mate_row = (pi << 1) | (1 - end)
+            ms = seqs[mate_row].seq
+            l_ms = len(ms)
+            if l_ms * opt.a >= 250:
+                continue  # i16 mode: scalar fallback
+            xtra = (KSW_XSUBO | KSW_XSTART | KSW_XBYTE
+                    | (opt.min_seed_len * opt.a))
+            thr = a_list[0].score - opt.pen_unpaired
+            nb = 0
+            for reg in a_list:
+                if reg.score < thr:
+                    continue
+                if nb >= opt.max_matesw:
+                    break
+                nb += 1
+                for r in range(4):
+                    if pes[r].failed:
+                        continue
+                    is_rev = (r >> 1) != (r & 1)
+                    is_larger = not (r >> 1)
+                    if not is_rev:
+                        rb = reg.rb + pes[r].low if is_larger else reg.rb - pes[r].high
+                        re = (reg.rb + pes[r].high if is_larger
+                              else reg.rb - pes[r].low) + l_ms
+                    else:
+                        rb = (reg.rb + pes[r].low if is_larger
+                              else reg.rb - pes[r].high) - l_ms
+                        re = reg.rb + pes[r].high if is_larger else reg.rb - pes[r].low
+                    rb = max(rb, 0)
+                    re = min(re, l_pac << 1)
+                    if rb >= re:
+                        continue
+                    ref, rid, rb2, re2 = refs.fetch_seq(rb, (rb + re) >> 1, re)
+                    if not (reg.rid == rid and re2 - rb2 >= opt.min_seed_len):
+                        continue
+                    if is_rev:
+                        seq = np.where(ms < 4, 3 - ms, 4)[::-1].astype(np.uint8)
+                        qc = (mate_row, l_ms - 1, -1, 1, l_ms)
+                    else:
+                        seq = ms
+                        qc = (mate_row, 0, 1, 0, l_ms)
+                    key = (seq.tobytes(), ref.tobytes(), xtra)
+                    if key in cache:
+                        continue
+                    cache[key] = None
+                    jobs.append((key, qc, (rb2, 1, re2 - rb2)))
+                    maxq = max(maxq, l_ms)
+                    maxt = max(maxt, re2 - rb2)
+    jobs = [(k, qc, tc) for (k, qc, tc) in jobs]
+    if not jobs:
+        return {}
+    N = ((maxq + 15) >> 4) << 4
+    Tcap = 256
+    while Tcap < maxt:
+        Tcap <<= 1
+    plist = [{"qcoords": j[1], "tcoords": j[2]} for j in jobs]
+    res = ksw_align2_batch(dfm, qd, plist, opt, N, Tcap)
+    out = {}
+    for (key, _, _), r in zip(jobs, res):
+        out[key] = r
+    return out
