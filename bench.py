@@ -31,6 +31,13 @@ def ensure_index():
 
 
 def main():
+    import jax
+
+    # persistent compile cache (helps CPU backends; axon compiles remotely)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     ensure_index()
     from mpibwa_tpu.core.opts import mem_opt_init
     from mpibwa_tpu.index.format import load_index

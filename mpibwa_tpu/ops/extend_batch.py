@@ -211,7 +211,7 @@ def extend_batch(qs: jnp.ndarray, ts: jnp.ndarray, qlens: jnp.ndarray,
                      state["max_ie"] + 1, state["gscore"], state["max_off"])
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9))
 def extend_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
                        T: int, params: jnp.ndarray, o_del: int, e_del: int,
                        o_ins: int, e_ins: int, mat: jnp.ndarray = None

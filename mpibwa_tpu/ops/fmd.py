@@ -60,7 +60,7 @@ class DeviceFMIndex:
         # 2-bit packed forward reference for device-side window construction
         self.pac = put(np.asarray(idx.pac))
         self.l_pac = int(idx.l_pac)
-        self.sa_lookup_jit = jax.jit(self.sa_lookup)
+        self.sa_lookup_jit = lambda ks: _sa_lookup_jit(self, ks)
 
     def ref_base(self, pos: jnp.ndarray) -> jnp.ndarray:
         """Reference base at doubled-coordinate pos (bns_get_seq semantics:
@@ -183,3 +183,33 @@ class DeviceFMIndex:
         k, steps, _ = jax.lax.while_loop(cond, body, (ks, steps0, act0))
         base = self.sa[(k // self.sa_intv).astype(jnp.int32)]
         return steps + base  # sa[0] == -1 wraps exactly like the C uint64
+
+
+# Register as a pytree: the index arrays trace as ARGUMENTS, not as HLO
+# constants — otherwise every kernel compile embeds megabytes of index data
+# and the persistent compilation cache becomes index-specific.
+def _dfm_flatten(fm: DeviceFMIndex):
+    leaves = (fm.occ, fm.data, fm.L2, fm.sa, fm.pac)
+    aux = (fm.primary, fm.seq_len, fm.sa_intv, fm.l_pac,
+           "i32" if fm.np_idt == np.int32 else "i64")
+    return leaves, aux
+
+
+def _dfm_unflatten(aux, leaves):
+    obj = object.__new__(DeviceFMIndex)
+    obj.occ, obj.data, obj.L2, obj.sa, obj.pac = leaves
+    obj.primary, obj.seq_len, obj.sa_intv, obj.l_pac, idt = aux
+    if idt == "i32":
+        obj.idt, obj.np_idt = jnp.int32, np.int32
+    else:
+        obj.idt, obj.np_idt = jnp.int64, np.int64
+    obj.sa_lookup_jit = lambda ks: _sa_lookup_jit(obj, ks)
+    return obj
+
+
+jax.tree_util.register_pytree_node(DeviceFMIndex, _dfm_flatten, _dfm_unflatten)
+
+
+@jax.jit
+def _sa_lookup_jit(fm: DeviceFMIndex, ks):
+    return fm.sa_lookup(ks)

@@ -143,7 +143,7 @@ def traceback(z: np.ndarray, qlen: int, tlen: int, w: int
     return [(ln, op) for op, ln in cigar]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9))
 def global_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
                        T: int, ws: jnp.ndarray, o_del: int, e_del: int,
                        o_ins: int, e_ins: int, mat: jnp.ndarray = None

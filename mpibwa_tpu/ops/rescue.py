@@ -43,7 +43,7 @@ def _maxscan_decay(t: jnp.ndarray, decay: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3, 4, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9, 10, 11))
 def striped_sw_u8(fm, qd: jnp.ndarray, qcoords: jnp.ndarray, N: int, T: int,
                   tcoords: jnp.ndarray, o_del: int, e_del: int, o_ins: int,
                   e_ins: int, shift: int, qmax: int,

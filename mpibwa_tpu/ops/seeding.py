@@ -51,7 +51,7 @@ class FwdOut(NamedTuple):
     overflow: jnp.ndarray  # (B,) bool
 
 
-@functools.partial(jax.jit, static_argnums=(0, 4))
+@functools.partial(jax.jit, static_argnums=(4,))
 def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
                  min_intv: jnp.ndarray, chain: bool = True,
                  starts: jnp.ndarray = None) -> FwdOut:
@@ -200,7 +200,7 @@ class BwdOut(NamedTuple):
     active: jnp.ndarray  # (N,) bool
 
 
-@functools.partial(jax.jit, static_argnums=(0, 8))
+@functools.partial(jax.jit, static_argnums=(8,))
 def backward_segment(fm: DeviceFMIndex, qrows: jnp.ndarray, prev: jnp.ndarray,
                      prev_info: jnp.ndarray, n_prev: jnp.ndarray,
                      i0: jnp.ndarray, min_intv: jnp.ndarray,
@@ -359,7 +359,7 @@ class Pass3Out(NamedTuple):
     overflow: jnp.ndarray  # (B,) bool
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
+@functools.partial(jax.jit, static_argnums=(3, 4))
 def pass3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
           min_seed_len: int, max_intv: int) -> Pass3Out:
     """bwt_seed_strategy1 sweep (mem_collect_intv 3rd pass)."""

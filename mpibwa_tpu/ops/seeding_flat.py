@@ -77,7 +77,7 @@ def _seg_last_keeper_x2(x2: jnp.ndarray, keeper: jnp.ndarray,
     return ph, pv
 
 
-@functools.partial(jax.jit, static_argnums=(0, 3))
+@functools.partial(jax.jit, static_argnums=(3,))
 def flat_rounds(fm: DeviceFMIndex, st: FlatState, qrows: jnp.ndarray,
                 n_rounds: int) -> FlatState:
     E = st.ik.shape[0]
