@@ -236,8 +236,33 @@ def main_mem(argv, by_chr: bool = False):
 
     from mpibwa_tpu.parallel.runtime import Runtime
 
+    # intra-host data parallelism: MPIBWA_DEVICES=all|N fans chunks out over
+    # the local jax devices (the reference scales with mpirun -n; we scale
+    # with the device mesh)
+    devices = None
+    dev_env = os.environ.get("MPIBWA_DEVICES", "")
+    if use_device and dev_env:
+        import jax
+
+        avail = jax.devices()
+        if dev_env == "all":
+            devices = avail
+        else:
+            try:
+                devices = avail[: int(dev_env)]
+            except ValueError:
+                print(f"[E::main_mem] MPIBWA_DEVICES must be 'all' or an "
+                      f"integer, got {dev_env!r}", file=sys.stderr)
+                return 1
+
+    # multi-process sharding (the `mpirun -n N` analog): launch one process
+    # per shard with MPIBWA_SHARD=i MPIBWA_NSHARDS=N, then `cli merge`
+    # (mainParallel.c's rank-round-robin chunk assignment, :1200-1260)
+    shard = int(os.environ.get("MPIBWA_SHARD", "0"))
+    n_shards = int(os.environ.get("MPIBWA_NSHARDS", "1"))
     rt = Runtime(idx, opt, use_device=use_device,
-                 fixed_chunk_size=fixed_chunk_size)
+                 fixed_chunk_size=fixed_chunk_size, devices=devices,
+                 shard=shard, n_shards=n_shards)
     if by_chr:
         paths = rt.run_by_chr(r1, r2, file_out, write_format, dofixmate,
                               hdr_line, rg_line, pg_line, rg_id, copy_comment,
@@ -247,6 +272,13 @@ def main_mem(argv, by_chr: bool = False):
     else:
         path = rt.run(r1, r2, file_out, write_format, dofixmate, hdr_line,
                       rg_line, pg_line, rg_id, copy_comment, pes0)
+        if n_shards > 1:
+            import json
+
+            with open(path + ".manifest.json", "w") as mf:
+                json.dump({"shard": shard, "n_shards": n_shards,
+                           "header_len": rt.header_len,
+                           "manifest": rt.last_manifest}, mf)
         print(f"output written to {path}", file=sys.stderr)
     return 0
 
@@ -274,6 +306,37 @@ def main_idx(argv):
     return 0
 
 
+def main_merge(argv):
+    """Merge per-shard outputs (written with MPIBWA_SHARD/MPIBWA_NSHARDS)
+    into one file in deterministic chunk order: cli merge OUT SHARD0 SHARD1…
+    (each SHARDk must have its .manifest.json sidecar next to it)."""
+    import json
+
+    from mpibwa_tpu.parallel.runtime import merge_shard_outputs
+
+    if len(argv) < 2:
+        print("usage: merge <out_file> <shard0_out> [<shard1_out> ...]",
+              file=sys.stderr)
+        return 1
+    out, shard_paths = argv[0], argv[1:]
+    sidecars = []
+    for sp in shard_paths:
+        with open(sp + ".manifest.json") as mf:
+            sidecars.append(json.load(mf))
+    sidecars_by_shard = sorted(zip(sidecars, shard_paths),
+                               key=lambda t: t[0]["shard"])
+    n = sidecars_by_shard[0][0]["n_shards"]
+    if len(shard_paths) != n or [m["shard"] for m, _ in sidecars_by_shard]             != list(range(n)):
+        print(f"[E::merge] expected {n} shards 0..{n-1}, got "
+              f"{sorted(m['shard'] for m in sidecars)}", file=sys.stderr)
+        return 1
+    merge_shard_outputs([p for _, p in sidecars_by_shard],
+                        [m["manifest"] for m, _ in sidecars_by_shard],
+                        out, sidecars_by_shard[0][0]["header_len"])
+    print(f"merged {n} shards into {out}", file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
@@ -289,6 +352,8 @@ def main(argv=None):
         return main_index(rest)
     if cmd == "idx":
         return main_idx(rest)
+    if cmd == "merge":
+        return main_merge(rest)
     print(f"unsupported command: {cmd}", file=sys.stderr)
     return 1
 

@@ -68,7 +68,12 @@ class Runtime:
 
     def __init__(self, idx, opt, use_device: bool = True,
                  fixed_chunk_size: Optional[int] = None,
-                 shard: int = 0, n_shards: int = 1, verbose: bool = True):
+                 shard: int = 0, n_shards: int = 1, verbose: bool = True,
+                 devices=None):
+        """devices: list of jax devices for intra-host data parallelism —
+        each device gets its own aligner (index replica in its HBM) and
+        chunks are fanned out round-robin, the mesh analog of mpiBWA's
+        rank-per-chunk scatter. Default: single (default) device."""
         self.idx = idx
         self.opt = opt
         self.verbose = verbose
@@ -78,7 +83,14 @@ class Runtime:
                                  or opt.chunk_size * opt.n_threads)
         self.shard = shard
         self.n_shards = n_shards
-        if use_device:
+        self.devices = devices
+        if use_device and devices and len(devices) > 1:
+            from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+            self.aligners = [DeviceAligner(idx, opt, device=d)
+                             for d in devices]
+            self._process = self.aligners[0].process_seqs
+        elif use_device:
             from mpibwa_tpu.pipeline.device_align import DeviceAligner
 
             self.aligner = DeviceAligner(idx, opt)
@@ -145,6 +157,11 @@ class Runtime:
 
         writer = _OrderedWriter(sink)
         manifest = []  # (chunk_idx, n_bytes) for this shard, in chunk order
+        if self.devices and len(self.devices) > 1:
+            return self._run_multidevice(seqs, chunks, is_pe, untrimmed,
+                                         writer, manifest, dofixmate, pes0,
+                                         rg_id, write_format, f,
+                                         locals().get("w"), path)
         n_processed = 0
         next_local = [0]
         t_start = time.time()
@@ -252,6 +269,66 @@ class Runtime:
             f.close()
             paths.append(os.path.join(out_dir, name + ext))
         return paths
+
+    def _run_multidevice(self, seqs, chunks, is_pe, untrimmed, writer,
+                         manifest, dofixmate, pes0, rg_id, write_format,
+                         f, w, path):
+        """Fan chunks out to per-device aligner threads; the ordered writer
+        reassembles output deterministically in chunk order."""
+        import concurrent.futures
+
+        mult = 2 if is_pe else 1
+        # n_processed prefix per chunk (trimmed/SE accumulate)
+        prefix = []
+        acc = 0
+        for ch in chunks:
+            prefix.append(acc)
+            acc += ch.count * mult
+
+        lock = threading.Lock()
+        local_idx = {}
+        order = [ci for ci in range(len(chunks))
+                 if ci % self.n_shards == self.shard]
+        for k, ci in enumerate(order):
+            local_idx[ci] = k
+        man = {}
+        nw = len(self.aligners)
+
+        def run_device(wi):
+            # one thread per device; an aligner is stateful, so all of a
+            # device's chunks run serially on its own thread (JAX dispatch
+            # releases the GIL, so device compute overlaps across threads)
+            al = self.aligners[wi]
+            for k in range(wi, len(order), nw):
+                ci = order[k]
+                ch = chunks[ci]
+                lo, hi = ch.start * mult, (ch.start + ch.count) * mult
+                batch = seqs[lo:hi]
+                np_arg = 0 if (is_pe and untrimmed) else prefix[ci]
+                al.process_seqs(batch, n_processed=np_arg, pes0=pes0,
+                                rg_id=rg_id)
+                if dofixmate and is_pe:
+                    apply_fixmate(batch, self.idx.anns)
+                text = "".join(s.sam for s in batch).encode()
+                for s in batch:
+                    s.sam = None
+                with lock:
+                    man[ci] = len(text)
+                    writer.put(local_idx[ci], text)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=nw) as ex:
+            futs = [ex.submit(run_device, wi) for wi in range(nw)]
+            for fu in futs:
+                fu.result()
+        writer.close()
+        manifest.extend((ci, man[ci]) for ci in order)
+        self.last_manifest = manifest
+        if write_format == SAM:
+            f.close()
+        else:
+            w.close(write_eof=True)
+            f.close()
+        return path
 
 
 def merge_shard_outputs(shard_paths, manifests, out_path, header_len: int):

@@ -78,3 +78,21 @@ def test_full_10k_pe(engines, golden_dir):
     got = "".join(s.sam for s in seqs)
     want = (golden_dir / "pe_10k.sam").read_text()
     assert got == want, _diff(got, want)
+
+
+def test_pe_1k_device(index, golden_dir):
+    """PE identity through the device pipeline (same 1K-pair batch as
+    test_pe_1k: pestat is batch-scoped so the golden matches exactly)."""
+    from mpibwa_tpu.core.opts import mem_opt_init
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_PE
+    al = DeviceAligner(index, opt)
+    r1 = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=1000)
+    r2 = read_fastq(fastq_path("HCC1187C_R2_10K.fastq"), limit=1000)
+    seqs = interleave(r1, r2)
+    al.process_seqs(seqs, n_processed=0)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "pe_1k.sam").read_text()
+    assert got == want, _diff(got, want)

@@ -159,3 +159,61 @@ def test_shard_count_invariance(idx_prefix, tmp_path, golden_dir):
         hlen = rt.header_len
     merged = merge_shard_outputs(outs, mans, str(tmp_path / "merged.sam"), hlen)
     assert open(merged, "rb").read() == open(one, "rb").read()
+
+
+def test_multidevice_identity(idx_prefix, tmp_path, golden_dir):
+    """Fanning chunks out over several devices (one aligner per device,
+    round-robin chunks — the mesh analog of the reference's rank-per-chunk
+    scatter, mainParallel.c:1200-1260) must produce byte-identical output
+    to the single-device run."""
+    import jax
+
+    from mpibwa_tpu.core.opts import mem_opt_init
+    from mpibwa_tpu.index.format import load_index
+    from mpibwa_tpu.parallel.runtime import Runtime
+
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        sub.write_text("".join(next(f) for _ in range(200 * 4)))
+    idx = load_index(idx_prefix)
+    K = 5000  # several chunks
+
+    rt1 = Runtime(idx, mem_opt_init(), use_device=True, fixed_chunk_size=K,
+                  verbose=False)
+    one = rt1.run(str(sub), None, str(tmp_path / "one"), 2)
+
+    devs = jax.devices()[:2]
+    rtm = Runtime(idx, mem_opt_init(), use_device=True, fixed_chunk_size=K,
+                  verbose=False, devices=devs)
+    many = rtm.run(str(sub), None, str(tmp_path / "many"), 2)
+    assert open(many, "rb").read() == open(one, "rb").read()
+
+
+def test_cli_shard_merge(idx_prefix, tmp_path, monkeypatch):
+    """The mpirun analog: per-shard CLI runs (MPIBWA_SHARD/NSHARDS) plus
+    `cli merge` reproduce the single-process output byte-for-byte (modulo
+    the @PG CL, which records each process's own argv)."""
+    from mpibwa_tpu.cli import main
+
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        sub.write_text("".join(next(f) for _ in range(120 * 4)))
+
+    out1 = tmp_path / "one"
+    assert main(["mem", "-K", "2000", "-o", str(out1), idx_prefix,
+                 str(sub)]) == 0
+    shard_outs = []
+    for sh in range(2):
+        monkeypatch.setenv("MPIBWA_SHARD", str(sh))
+        monkeypatch.setenv("MPIBWA_NSHARDS", "2")
+        o = tmp_path / f"sh{sh}"
+        assert main(["mem", "-K", "2000", "-o", str(o), idx_prefix,
+                     str(sub)]) == 0
+        shard_outs.append(str(o) + ".sam")
+    monkeypatch.delenv("MPIBWA_SHARD")
+    monkeypatch.delenv("MPIBWA_NSHARDS")
+    merged = tmp_path / "merged.sam"
+    assert main(["merge", str(merged)] + shard_outs) == 0
+
+    strip = lambda p: [l for l in open(p) if not l.startswith("@PG")]
+    assert strip(merged) == strip(str(out1) + ".sam")
