@@ -46,22 +46,38 @@ def main():
 
     idx = load_index(IDX_PREFIX)
     opt = mem_opt_init()
-    al = DeviceAligner(idx, opt)
     seqs = read_fastq(f"{DATA}/HCC1187C_R1_10K.fastq")
 
     batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    workers = int(os.environ.get("BENCH_WORKERS", "2"))
+    from mpibwa_tpu.ops.fmd import DeviceFMIndex
+
+    dfm = DeviceFMIndex(idx)
+    als = [DeviceAligner(idx, opt, dfm=dfm) for _ in range(workers)]
     # warmup batch (compilation)
-    al.process_seqs(seqs[:batch], n_processed=0)
-    # timed batches
-    t0 = time.time()
-    n_timed = 0
+    als[0].process_seqs(seqs[:batch], n_processed=0)
+    # timed batches: round-robin over pipelined workers sharing the chip
+    # (host finalization of one batch overlaps device compute of another)
+    bounds = []
     off = batch
     while off < len(seqs):
         cnt = min(batch, len(seqs) - off)
-        al.process_seqs(seqs[off : off + cnt], n_processed=off)
-        n_timed += cnt
+        bounds.append((off, cnt))
         off += cnt
+    t0 = time.time()
+
+    def run_worker(wi):
+        for bi in range(wi, len(bounds), workers):
+            o, cnt = bounds[bi]
+            als[wi].process_seqs(seqs[o : o + cnt], n_processed=o)
+
+    import concurrent.futures
+
+    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+        for fu in [ex.submit(run_worker, wi) for wi in range(workers)]:
+            fu.result()
     dt = time.time() - t0
+    n_timed = sum(c for _, c in bounds)
     reads_per_sec = n_timed / dt
 
     # correctness gate: byte-identity vs the reference engine's output

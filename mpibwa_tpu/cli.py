@@ -241,6 +241,9 @@ def main_mem(argv, by_chr: bool = False):
     # with the device mesh)
     devices = None
     dev_env = os.environ.get("MPIBWA_DEVICES", "")
+    workers = int(os.environ.get("MPIBWA_WORKERS", "1"))
+    if use_device and workers > 1 and not dev_env:
+        dev_env = "1"
     if use_device and dev_env:
         import jax
 
@@ -254,6 +257,9 @@ def main_mem(argv, by_chr: bool = False):
                 print(f"[E::main_mem] MPIBWA_DEVICES must be 'all' or an "
                       f"integer, got {dev_env!r}", file=sys.stderr)
                 return 1
+        # MPIBWA_WORKERS=k: k pipelined workers per device (host work of
+        # one chunk overlaps device compute of another)
+        devices = [d for d in devices for _ in range(max(workers, 1))]
 
     # multi-process sharding (the `mpirun -n N` analog): launch one process
     # per shard with MPIBWA_SHARD=i MPIBWA_NSHARDS=N, then `cli merge`

@@ -13,13 +13,15 @@ INT2BASE_REV = "TGCAN"
 
 # Optional batched-DP cache (set by the device pipeline): maps
 # (query_bytes, rseq_bytes, w) -> (score, cigar). Misses fall through to the
-# scalar kernel, so exactness never depends on the cache.
-_ACTIVE_CACHE = None
+# scalar kernel, so exactness never depends on the cache. Thread-local so
+# concurrent aligner workers each see their own batch's cache.
+import threading as _threading
+
+_TLS = _threading.local()
 
 
 def set_cigar_cache(cache):
-    global _ACTIVE_CACHE
-    _ACTIVE_CACHE = cache
+    _TLS.cache = cache
 
 
 def gen_cigar(opt, refs, query: np.ndarray, rb: int, re: int,
@@ -55,8 +57,9 @@ def gen_cigar(opt, refs, query: np.ndarray, rb: int, re: int,
         min_w = abs(rlen - l_query) + 3
         w = max(w, min_w)
         hit = None
-        if want_cigar and _ACTIVE_CACHE is not None:
-            hit = _ACTIVE_CACHE.get((query.tobytes(), rseq.tobytes(), w))
+        _cache = getattr(_TLS, "cache", None)
+        if want_cigar and _cache is not None:
+            hit = _cache.get((query.tobytes(), rseq.tobytes(), w))
         if hit is not None:
             score, cigar = hit
         else:

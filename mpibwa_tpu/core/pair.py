@@ -21,12 +21,13 @@ from .sortutil import hash_64, introsort_128, introsort_64
 # Optional batched mate-rescue cache (set by the device pipeline): maps
 # (seq_bytes, ref_bytes, xtra) -> KswR-shaped tuple. Misses fall through to
 # the scalar striped kernel.
-_SW_CACHE = None
+import threading as _threading
+
+_TLS = _threading.local()
 
 
 def set_sw_cache(cache):
-    global _SW_CACHE
-    _SW_CACHE = cache
+    _TLS.sw_cache = cache
 
 
 MIN_RATIO = 0.8
@@ -169,8 +170,9 @@ def mem_matesw(opt, refs, pes: List[PEStat], a: AlnReg, l_ms: int,
                     | (KSW_XBYTE if l_ms * opt.a < 250 else 0)
                     | (opt.min_seed_len * opt.a))
             aln = None
-            if _SW_CACHE is not None:
-                hit = _SW_CACHE.get((seq.tobytes(), ref.tobytes(), xtra))
+            _sw_cache = getattr(_TLS, "sw_cache", None)
+            if _sw_cache is not None:
+                hit = _sw_cache.get((seq.tobytes(), ref.tobytes(), xtra))
                 if hit is not None:
                     from types import SimpleNamespace
 

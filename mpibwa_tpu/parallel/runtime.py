@@ -85,9 +85,17 @@ class Runtime:
         self.n_shards = n_shards
         self.devices = devices
         if use_device and devices and len(devices) > 1:
+            # devices may repeat: several workers on one chip overlap that
+            # chip's host finalization with its device compute; they share
+            # one HBM index replica per distinct device
+            from mpibwa_tpu.ops.fmd import DeviceFMIndex
             from mpibwa_tpu.pipeline.device_align import DeviceAligner
 
-            self.aligners = [DeviceAligner(idx, opt, device=d)
+            dfms = {}
+            for d in devices:
+                if id(d) not in dfms:
+                    dfms[id(d)] = DeviceFMIndex(idx, d)
+            self.aligners = [DeviceAligner(idx, opt, dfm=dfms[id(d)])
                              for d in devices]
             self._process = self.aligners[0].process_seqs
         elif use_device:
@@ -120,6 +128,17 @@ class Runtime:
             chunks = chunk_pe(sizes1, sizes2, self.fixed_chunk_size, not untrimmed)
             seqs = interleave(reads1, reads2)
             return seqs, chunks, True, untrimmed
+        if self.opt.flag & O.MEM_F_SMARTPE:
+            # smart pairing (-p): one interleaved file, consecutive reads are
+            # mates (mainParallel.c:306 sets the flag; the engine pairs
+            # 2i/2i+1). Chunks are whole pairs so pairing never splits.
+            if len(reads1) % 2:
+                raise ValueError("smart pairing (-p) needs an even number "
+                                 f"of reads, got {len(reads1)}")
+            sizes1 = np.array([r.l_seq for r in reads1[0::2]], np.int64)
+            sizes2 = np.array([r.l_seq for r in reads1[1::2]], np.int64)
+            chunks = chunk_pe(sizes1, sizes2, self.fixed_chunk_size, True)
+            return reads1, chunks, True, False
         sizes = np.array([r.l_seq for r in reads1], np.int64)
         chunks = chunk_se(sizes, self.fixed_chunk_size)
         return reads1, chunks, False, False

@@ -69,14 +69,16 @@ class DeviceAligner:
     T_BUCKETS = (128, 256, 384, 512, 768, 1024)
     MAX_SEEDS_PER_CHAIN = 8  # optimistic extension cap; rest -> scalar
 
-    def __init__(self, idx, opt, device=None):
+    def __init__(self, idx, opt, device=None, dfm=None):
+        """dfm: share an existing DeviceFMIndex (one HBM index replica can
+        serve several aligner workers on the same device)."""
         from mpibwa_tpu.ops.fmd import DeviceFMIndex
         from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
 
         self.opt = opt
         self.fm = FMIndex.from_index(idx)
         self.refs = RefSeq(idx)
-        self.dfm = DeviceFMIndex(idx, device)
+        self.dfm = dfm if dfm is not None else DeviceFMIndex(idx, device)
         self.seeder = DeviceSeeder(self.dfm, opt)
         self.stats = {"fallback_reads": 0, "ext_problems": 0, "ext_misses": 0}
         import jax.numpy as jnp

@@ -217,3 +217,24 @@ def test_cli_shard_merge(idx_prefix, tmp_path, monkeypatch):
 
     strip = lambda p: [l for l in open(p) if not l.startswith("@PG")]
     assert strip(merged) == strip(str(out1) + ".sam")
+
+
+def test_cli_smart_pairing(idx_prefix, tmp_path, golden_dir):
+    """-p with one interleaved file pairs consecutive reads: output matches
+    the R1+R2 PE golden for the same 1K-pair batch."""
+    from mpibwa_tpu.cli import main
+
+    inter = tmp_path / "inter.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f1, \
+            open(fastq_path("HCC1187C_R2_10K.fastq")) as f2, \
+            open(inter, "w") as out:
+        for _ in range(1000):
+            for _ in range(4):
+                out.write(next(f1))
+            for _ in range(4):
+                out.write(next(f2))
+    out1 = tmp_path / "sp"
+    assert main(["mem", "-p", "-o", str(out1), idx_prefix, str(inter)]) == 0
+    got = [l for l in open(str(out1) + ".sam") if not l.startswith("@")]
+    want = (golden_dir / "pe_1k.sam").read_text().splitlines(keepends=True)
+    assert got == want
