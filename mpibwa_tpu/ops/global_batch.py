@@ -143,6 +143,65 @@ def traceback(z: np.ndarray, qlen: int, tlen: int, w: int
     return [(ln, op) for op, ln in cigar]
 
 
+@jax.jit
+def traceback_batch(z: jnp.ndarray, qlens: jnp.ndarray, tlens: jnp.ndarray,
+                    ws: jnp.ndarray):
+    """Device traceback of the whole batch in lockstep (ksw.c:588-602).
+
+    Returns (ops (B, T+Q) uint8 in walk order with 255 padding, i_rem,
+    k_rem): the host run-length-encodes ops and appends the leftover-D/I
+    tails, avoiding the (B, T, Q) direction-matrix pull."""
+    B, T, Q = z.shape
+    rows = jnp.arange(B)
+    i = tlens - 1
+    k = jnp.minimum(i + ws + 1, qlens) - 1
+    which = jnp.zeros(B, jnp.int32)
+    ops = jnp.full((B, T + Q), 255, jnp.uint8)
+
+    def body(s, st):
+        i, k, which, ops = st
+        alive = (i >= 0) & (k >= 0)
+        zval = z[rows, jnp.clip(i, 0, T - 1),
+                 jnp.clip(k, 0, Q - 1)].astype(jnp.int32)
+        w2 = (zval >> (which << 1)) & 3
+        # op codes as the host push(): 0=M, 2=D (i-1), 1=I (k-1)
+        op = jnp.where(w2 == 0, 0, jnp.where(w2 == 1, 2, 1)).astype(jnp.uint8)
+        ops = ops.at[:, s].set(jnp.where(alive, op, jnp.uint8(255)))
+        di = jnp.where(w2 == 2, 0, 1)
+        dk = jnp.where(w2 == 1, 0, 1)
+        i = jnp.where(alive, i - di, i)
+        k = jnp.where(alive, k - dk, k)
+        which = jnp.where(alive, w2, which)
+        return (i, k, which, ops)
+
+    i, k, which, ops = jax.lax.fori_loop(0, T + Q, body, (i, k, which, ops))
+    return ops, i, k
+
+
+def cigar_from_ops(ops_row: np.ndarray, i_rem: int, k_rem: int
+                   ) -> List[Tuple[int, int]]:
+    """Host run-length encoding of a device traceback row; replicates the
+    push/merge + tail pushes + reversal of `traceback`."""
+    cigar: List[List[int]] = []
+
+    def push(op, ln):
+        if cigar and cigar[-1][0] == op:
+            cigar[-1][1] += ln
+        else:
+            cigar.append([op, ln])
+
+    for op in ops_row:
+        if op == 255:
+            break
+        push(int(op), 1)
+    if i_rem >= 0:
+        push(2, i_rem + 1)
+    if k_rem >= 0:
+        push(1, k_rem + 1)
+    cigar.reverse()
+    return [(ln, op) for op, ln in cigar]
+
+
 @functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9))
 def global_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
                        T: int, ws: jnp.ndarray, o_del: int, e_del: int,

@@ -24,7 +24,7 @@ import numpy as np
 from .fmd import DeviceFMIndex
 
 M_CAP = 16  # max mems per lane (overflow -> scalar fallback)
-SEG_SCHEDULE = (2, 2, 4, 8, 16, 32)  # adaptive: early rounds kill most entries
+SEG_SCHEDULE = (1, 2, 4)  # early compaction pays: most entries die fast
 
 
 class FlatState(NamedTuple):
@@ -145,6 +145,81 @@ def flat_rounds(fm: DeviceFMIndex, st: FlatState, qrows: jnp.ndarray,
     return jax.lax.fori_loop(0, n_rounds, body, st)
 
 
+@functools.partial(jax.jit, static_argnums=(3,))
+def flat_rounds_while(fm: DeviceFMIndex, st: FlatState, qrows: jnp.ndarray,
+                      max_rounds: int) -> FlatState:
+    """Single-shot backward: run rounds until no entry is live (or the
+    max_rounds safety bound), entirely on device — one dispatch, one sync.
+
+    Per-round work stays at the initial capacity E (no compaction), but on
+    HBM-bandwidth hardware that costs microseconds per round, while each
+    host sync of the segment ladder costs a full link round trip."""
+    E = st.ik.shape[0]
+    NL, L = qrows.shape
+    pos = jnp.arange(E, dtype=jnp.int32)
+    lane_start = jnp.concatenate(
+        [jnp.ones(1, bool), st.lane[1:] != st.lane[:-1]])
+
+    def round_body(st: FlatState) -> FlatState:
+        lane = st.lane
+        i_lane = st.i[lane]
+        live = st.live & st.active[lane]
+        safe_i = jnp.clip(i_lane, 0, L - 1)
+        qi = jnp.where((i_lane >= 0) & (i_lane < L),
+                       qrows[lane, safe_i], jnp.uint8(4))
+        has_c = (i_lane >= 0) & (qi < 4)
+        c = jnp.clip(qi, 0, 3).astype(jnp.int32)
+
+        ok = fm.extend(st.ik, 1)  # (E, 4, 3)
+        okc = ok[pos, c, :]
+        keeper = live & has_c & (okc[:, 2] >= st.minv[lane])
+
+        excl_live = _seg_incl_cumsum(live.astype(jnp.int32), lane_start)             - live.astype(jnp.int32)
+        first_live = live & (excl_live == 0)
+
+        not_contained = (i_lane + 1) < st.last_start[lane]
+        emit = first_live & ~keeper & not_contained
+        midx = jnp.minimum(st.n_mems[lane], M_CAP - 1)
+        lane_sel = jnp.where(emit, lane, NL).astype(jnp.int32)
+        info_val = st.info | ((i_lane + 1).astype(jnp.int64) << 32)
+        mems = st.mems.at[lane_sel, midx].set(st.ik, mode="drop")
+        mem_infos = st.mem_infos.at[lane_sel, midx].set(info_val, mode="drop")
+        emit_per_lane = jax.ops.segment_sum(emit.astype(jnp.int32),
+                                            lane.astype(jnp.int32),
+                                            num_segments=NL)
+        n_mems = st.n_mems + emit_per_lane
+        ov_e = emit & (st.n_mems[lane] >= M_CAP)
+        overflow = st.overflow | (jax.ops.segment_sum(
+            ov_e.astype(jnp.int32), lane.astype(jnp.int32),
+            num_segments=NL) > 0)
+        last_start = st.last_start.at[jnp.where(
+            emit, lane, NL).astype(jnp.int32)].set(
+                (i_lane + 1).astype(jnp.int64), mode="drop")
+
+        ph, pv = _seg_last_keeper_x2(okc[:, 2], keeper, lane_start)
+        append = keeper & (~ph | (okc[:, 2] != pv))
+
+        n_new = jax.ops.segment_sum(append.astype(jnp.int32),
+                                    lane.astype(jnp.int32), num_segments=NL)
+        cont = st.active & (n_new > 0)
+        new_ik = jnp.where(append[:, None], okc, st.ik)
+        new_i = jnp.where(cont, st.i - 1, st.i)
+        return FlatState(new_ik, st.info, st.lane, append, new_i, cont,
+                         last_start, st.minv, mems, mem_infos, n_mems,
+                         overflow)
+
+    def cond(carry):
+        r, st = carry
+        return (r < max_rounds) & jnp.any(st.live & st.active[st.lane])
+
+    def body(carry):
+        r, st = carry
+        return r + 1, round_body(st)
+
+    _, st = jax.lax.while_loop(cond, body, (jnp.int32(0), st))
+    return st
+
+
 
 
 @functools.partial(jax.jit, static_argnums=(4,))
@@ -235,11 +310,38 @@ def run_backward_flat(fm: DeviceFMIndex, qrows_dev, entry_dev, n_lanes: int,
     seg_i = 0
     st = FlatState(ik_d, info_d, lane_d, live_d, i_d, act_d, ls_d, minv_d,
                    mems_d, mi_d, nm_d, ov_d)
+    import os
+
+    dbg = os.environ.get("MPIBWA_BWD_DEBUG") == "1"
+    if dbg:
+        import sys as _sys
+        import time as _time
+        _td = _time.time()
+
+    # hybrid: compaction ladder while capacity is large (per-round cost
+    # scales with E), then one device while_loop to finish once the live
+    # set fits a small capacity (saves the tail's host syncs). Full
+    # single-shot measured slower: the O(E log E) segmented scans dominate
+    # at initial capacity.
+    mode = os.environ.get("MPIBWA_BWD_MODE", "hybrid")
+    L = qrows_dev.shape[1]
+    if mode == "single":
+        st = flat_rounds_while(fm, st, qrows_dev, L + 1)
+        return _pull_mems(st, NL)
+    finish_cap = int(os.environ.get("MPIBWA_FINISH_CAP", "4096"))
+    sched = SEG_SCHEDULE
+    env_sched = os.environ.get("MPIBWA_BWD_SCHED")
+    if env_sched:
+        sched = tuple(int(x) for x in env_sched.split(","))
     while True:
-        n_rounds = SEG_SCHEDULE[min(seg_i, len(SEG_SCHEDULE) - 1)]
+        n_rounds = sched[min(seg_i, len(sched) - 1)]
         seg_i += 1
         st = flat_rounds(fm, st, qrows_dev, n_rounds)
         n_live = int(jnp.sum(st.live))  # one scalar crosses the link
+        if dbg:
+            print(f"  bwd seg{seg_i} cap={st.ik.shape[0]} rounds={n_rounds} "
+                  f"live={n_live} dt={_time.time()-_td:.3f}", file=_sys.stderr)
+            _td = _time.time()
         if n_live == 0:
             break
         cap = st.ik.shape[0]
@@ -250,7 +352,25 @@ def run_backward_flat(fm: DeviceFMIndex, qrows_dev, entry_dev, n_lanes: int,
             st = FlatState(ik2, info2, lane2, live2, st.i, st.active,
                            st.last_start, st.minv, st.mems, st.mem_infos,
                            st.n_mems, st.overflow)
-    # final pull: flatten mems on device, ship only real entries
+        if mode == "hybrid" and st.ik.shape[0] <= finish_cap:
+            st = flat_rounds_while(fm, st, qrows_dev, L + 1)
+            if dbg:
+                st.live.block_until_ready()
+                print(f"  bwd while cap={st.ik.shape[0]} "
+                      f"dt={_time.time()-_td:.3f}", file=_sys.stderr)
+            break
+    return _pull_mems(st, NL)
+
+
+def _pull_mems(st: FlatState, NL: int):
+    """Final pull: flatten mems on device, ship only real entries."""
+
+    def pad_cap(n):
+        c = 256
+        while c < n:
+            c <<= 2
+        return c
+
     nm_np = np.minimum(np.asarray(st.n_mems), M_CAP)
     overflow = np.asarray(st.overflow).copy()
     out_mems = [[] for _ in range(NL)]

@@ -456,7 +456,9 @@ def precompute_cigars(opt, refs, qs_per_read, regs_per_read, dfm=None,
     returns the cigar cache dict consumed by core.cigar.gen_cigar."""
     import jax.numpy as jnp
 
-    from mpibwa_tpu.ops.global_batch import global_from_coords, traceback
+    from mpibwa_tpu.ops.global_batch import (cigar_from_ops,
+                                              global_from_coords,
+                                              traceback_batch)
 
     probs = []
     for b, (query_full, regs) in enumerate(zip(qs_per_read, regs_per_read)):
@@ -494,15 +496,23 @@ def precompute_cigars(opt, refs, qs_per_read, regs_per_read, dfm=None,
                 continue
             cds[i] = coords
             ws[i] = w
+        qlens = cds[:, 2].copy()
+        tlens = cds[:, 5].copy()
         out = global_from_coords(dfm, qd, jnp.asarray(cds), Q, T,
                                  jnp.asarray(ws), opt.o_del, opt.e_del,
                                  opt.o_ins, opt.e_ins, mat55d)
+        # traceback on device: pull (B, T+Q) op rows, not (B, T, Q) matrices
+        ops_d, irem_d, krem_d = traceback_batch(out.z, jnp.asarray(qlens),
+                                                jnp.asarray(tlens),
+                                                jnp.asarray(ws))
         scores = np.asarray(out.score)
-        zs = np.asarray(out.z)
+        ops_np = np.asarray(ops_d)
+        irem_np = np.asarray(irem_d)
+        krem_np = np.asarray(krem_d)
         for i, (q, t, w, coords) in enumerate(items):
             if i in skip:
                 continue
-            cig = traceback(zs[i], len(q), len(t), w)
+            cig = cigar_from_ops(ops_np[i], int(irem_np[i]), int(krem_np[i]))
             cache[(q.tobytes(), t.tobytes(), w)] = (int(scores[i]), cig)
     return cache
 

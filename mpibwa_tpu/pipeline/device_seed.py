@@ -76,9 +76,17 @@ class DeviceSeeder:
             ivals_dev, infos_dev, jnp.asarray(lane_row),
             jnp.asarray(lane_tbl), E)
         qrows_dev = qd[jnp.asarray(lane_row)]
-        mems, overflow = SF.run_backward_flat(self.dfm, qrows_dev,
-                                              (ik, info, lane, live), NLp,
-                                              x0, minv)
+        import os
+
+        if os.environ.get("MPIBWA_BWD", "flat") == "free":
+            from mpibwa_tpu.ops import seeding_free as SFREE
+
+            mems, overflow = SFREE.run_backward_free(
+                self.dfm, qrows_dev, (ik, info, lane, live), NLp, x0, minv)
+        else:
+            mems, overflow = SF.run_backward_flat(self.dfm, qrows_dev,
+                                                  (ik, info, lane, live),
+                                                  NLp, x0, minv)
         for ln in np.nonzero(overflow[:N])[0]:
             mark(call_list[ln][0])
         return mems[:N]
@@ -152,28 +160,36 @@ class DeviceSeeder:
                 starts2[ln] = x
                 min2[ln] = mi
             q2d = jnp.asarray(q2)
+            t2 = _time.time()
             fwd2 = seeding.forward_pass(self.dfm, q2d,
                                         jnp.asarray(lens2), jnp.asarray(min2),
                                         False, jnp.asarray(starts2))
+            fwd2.overflow.block_until_ready()
+            tt["p2_fwd"] = tt.get("p2_fwd", 0.0) + _time.time() - t2
+            t2 = _time.time()
             for ln in np.nonzero(np.asarray(fwd2.overflow))[0]:
                 if ln < len(lanes2):
                     fallback[lanes2[ln][0]] = True
             f2_ncalls = np.asarray(fwd2.n_calls)
-            f2_start = np.asarray(fwd2.call_start)
-            f2_len = np.asarray(fwd2.call_len)
-            f2_x = np.asarray(fwd2.call_x)
+            # single-call mode uses only call 0: pull one column, not C_CAP
+            f2_start = np.asarray(fwd2.call_start[:, 0])
+            f2_len = np.asarray(fwd2.call_len[:, 0])
+            f2_x = np.asarray(fwd2.call_x[:, 0])
             lanes2b = []
             lane2_src = []
             for ln in range(len(lanes2)):
                 b = lanes2[ln][0]
                 if f2_ncalls[ln] == 0:
                     continue  # ambiguous start: no mems
-                lanes2b.append((ln, f2_start[ln, 0], f2_len[ln, 0],
-                                f2_x[ln, 0], lanes2[ln][2]))
+                lanes2b.append((ln, f2_start[ln], f2_len[ln],
+                                f2_x[ln], lanes2[ln][2]))
                 lane2_src.append(b)
             fb_map = {ln: lanes2[ln][0] for ln in range(len(lanes2))}
+            tt["p2_tbl"] = tt.get("p2_tbl", 0.0) + _time.time() - t2
+            t2 = _time.time()
             mems_l2 = self._run_backward_for_calls(q2d, lanes2b, fwd2.ivals,
                                                    fwd2.infos, fallback, fb_map)
+            tt["p2_bwd"] = tt.get("p2_bwd", 0.0) + _time.time() - t2
             for k, b in enumerate(lane2_src):
                 for iv in reversed(mems_l2[k]):
                     slen = (iv[3] & 0xFFFFFFFF) - (iv[3] >> 32)
