@@ -241,6 +241,18 @@ def fixmate_pair(s1, s2, anns) -> None:
 
 
 def apply_fixmate(seqs, anns) -> None:
-    """call_fixmate equivalent: strided over interleaved pairs."""
+    """call_fixmate equivalent: strided over interleaved pairs. Uses the
+    native (C) implementation when available; the Python port is the
+    fallback and the differential reference."""
+    from mpibwa_tpu.native import fixmate_pair_native, get_lib
+
+    names = [a.name for a in anns]
+    use_native = get_lib() is not None
     for i in range(0, len(seqs) - 1, 2):
-        fixmate_pair(seqs[i], seqs[i + 1], anns)
+        s1, s2 = seqs[i], seqs[i + 1]
+        if use_native:
+            res = fixmate_pair_native(s1.sam, s2.sam, names)
+            if res is not None:
+                s1.sam, s2.sam = res
+                continue
+        fixmate_pair(s1, s2, anns)

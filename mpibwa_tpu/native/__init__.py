@@ -1,0 +1,93 @@
+"""Native (C) host-runtime components, loaded via ctypes.
+
+The reference's host runtime is C (fixmate.c, tokenizer.c, parallel_aux.c);
+these are our native equivalents for the text/IO hot paths. The shared
+library is built on demand with the system compiler into this package
+directory; every caller falls back to the exact Python implementation when
+the library is unavailable (MPIBWA_NATIVE=0 forces the fallback), and both
+paths are tested against the same goldens.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_LIB_PATH = os.path.join(_DIR, "_libmpibwa.so")
+_SOURCES = ["fixmate.c"]
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    srcs = [os.path.join(_DIR, s) for s in _SOURCES]
+    newest = max(os.path.getmtime(s) for s in srcs)
+    if (os.path.exists(_LIB_PATH)
+            and os.path.getmtime(_LIB_PATH) >= newest):
+        return True
+    cc = os.environ.get("CC", "cc")
+    cmd = [cc, "-O2", "-fPIC", "-shared", "-o", _LIB_PATH] + srcs
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        return True
+    except (subprocess.CalledProcessError, FileNotFoundError):
+        return False
+
+
+def get_lib():
+    """Returns the loaded library or None (Python fallback)."""
+    global _lib, _tried
+    if os.environ.get("MPIBWA_NATIVE", "1") == "0":
+        return None
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        if not _build():
+            return None
+        try:
+            lib = ctypes.CDLL(_LIB_PATH)
+        except OSError:
+            return None
+        lib.mpibwa_fixmate_pair.restype = ctypes.c_int
+        lib.mpibwa_fixmate_pair.argtypes = [
+            ctypes.c_char_p, ctypes.c_int, ctypes.c_char_p, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_char_p), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.mpibwa_buf_free.restype = None
+        lib.mpibwa_buf_free.argtypes = [ctypes.c_char_p]
+        _lib = lib
+        return _lib
+
+
+def fixmate_pair_native(sam1: str, sam2: str, names) -> tuple | None:
+    """C fixmate over one pair's SAM text; None -> caller uses Python."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    b1 = sam1.encode()
+    b2 = sam2.encode()
+    arr = (ctypes.c_char_p * len(names))(*[n.encode() for n in names])
+    o1 = ctypes.c_char_p()
+    o2 = ctypes.c_char_p()
+    l1 = ctypes.c_int()
+    l2 = ctypes.c_int()
+    rc = lib.mpibwa_fixmate_pair(b1, len(b1), b2, len(b2), arr, len(names),
+                                 ctypes.byref(o1), ctypes.byref(l1),
+                                 ctypes.byref(o2), ctypes.byref(l2))
+    if rc != 0:
+        return None
+    try:
+        r1 = ctypes.string_at(o1, l1.value).decode()
+        r2 = ctypes.string_at(o2, l2.value).decode()
+    finally:
+        lib.mpibwa_buf_free(o1)
+        lib.mpibwa_buf_free(o2)
+    return r1, r2

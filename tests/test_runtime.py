@@ -238,3 +238,37 @@ def test_cli_smart_pairing(idx_prefix, tmp_path, golden_dir):
     got = [l for l in open(str(out1) + ".sam") if not l.startswith("@")]
     want = (golden_dir / "pe_1k.sam").read_text().splitlines(keepends=True)
     assert got == want
+
+
+def test_native_fixmate_matches_python(index, golden_dir):
+    """The C fixmate (mpibwa_tpu/native/fixmate.c) must be byte-identical
+    to the Python port (the oracle-tested reference) on the golden batch."""
+    import itertools
+
+    from mpibwa_tpu.io.fixmate import fixmate_pair
+    from mpibwa_tpu.native import fixmate_pair_native, get_lib
+
+    if get_lib() is None:
+        import pytest
+
+        pytest.skip("no C compiler available")
+    names = [a.name for a in index.anns]
+    lines = list(open(golden_dir / "pe_1k.sam"))
+    n = 0
+    for qname, grp in itertools.groupby(lines,
+                                        key=lambda l: l.split("\t", 1)[0]):
+        grp = list(grp)
+        g1 = "".join(l for l in grp if int(l.split("\t")[1]) & 64)
+        g2 = "".join(l for l in grp if int(l.split("\t")[1]) & 128)
+
+        class S:
+            pass
+
+        a, b = S(), S()
+        a.sam, b.sam = g1, g2
+        a.name = b.name = qname
+        fixmate_pair(a, b, index.anns)
+        res = fixmate_pair_native(g1, g2, names)
+        assert res == (a.sam, b.sam), f"native fixmate differs for {qname}"
+        n += 1
+    assert n == 1000
