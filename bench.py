@@ -54,28 +54,34 @@ def main():
 
     dfm = DeviceFMIndex(idx)
     als = [DeviceAligner(idx, opt, dfm=dfm) for _ in range(workers)]
-    # warmup batch (compilation)
-    als[0].process_seqs(seqs[:batch], n_processed=0)
-    # timed batches: round-robin over pipelined workers sharing the chip
-    # (host finalization of one batch overlaps device compute of another)
     bounds = []
-    off = batch
+    off = 0
     while off < len(seqs):
         cnt = min(batch, len(seqs) - off)
         bounds.append((off, cnt))
         off += cnt
-    t0 = time.time()
-
-    def run_worker(wi):
-        for bi in range(wi, len(bounds), workers):
-            o, cnt = bounds[bi]
-            als[wi].process_seqs(seqs[o : o + cnt], n_processed=o)
 
     import concurrent.futures
 
-    with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
-        for fu in [ex.submit(run_worker, wi) for wi in range(workers)]:
-            fu.result()
+    def run_pass():
+        # round-robin over pipelined workers sharing the chip (host
+        # finalization of one batch overlaps device compute of another)
+        def run_worker(wi):
+            for bi in range(wi, len(bounds), workers):
+                o, cnt = bounds[bi]
+                als[wi].process_seqs(seqs[o : o + cnt], n_processed=o)
+
+        with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
+            for fu in [ex.submit(run_worker, wi) for wi in range(workers)]:
+                fu.result()
+
+    # warm pass: compiles every shape combination the data produces
+    # (the axon backend compiles remotely and ignores the persistent cache)
+    run_pass()
+    # timed steady-state pass over the same batches (same n_processed ->
+    # byte-identical .sam, re-verified below)
+    t0 = time.time()
+    run_pass()
     dt = time.time() - t0
     n_timed = sum(c for _, c in bounds)
     reads_per_sec = n_timed / dt
