@@ -46,7 +46,16 @@ def main():
 
     idx = load_index(IDX_PREFIX)
     opt = mem_opt_init()
-    seqs = read_fastq(f"{DATA}/HCC1187C_R1_10K.fastq")
+    pe = os.environ.get("BENCH_PE", "0") == "1"
+    if pe:
+        from mpibwa_tpu.core.opts import MEM_F_PE
+        from mpibwa_tpu.io.fastq import interleave
+
+        opt.flag |= MEM_F_PE
+        seqs = interleave(read_fastq(f"{DATA}/HCC1187C_R1_10K.fastq"),
+                          read_fastq(f"{DATA}/HCC1187C_R2_10K.fastq"))
+    else:
+        seqs = read_fastq(f"{DATA}/HCC1187C_R1_10K.fastq")
 
     batch = int(os.environ.get("BENCH_BATCH", "2048"))
     workers = int(os.environ.get("BENCH_WORKERS", "2"))
@@ -55,11 +64,17 @@ def main():
     dfm = DeviceFMIndex(idx)
     als = [DeviceAligner(idx, opt, dfm=dfm) for _ in range(workers)]
     bounds = []
-    off = 0
-    while off < len(seqs):
-        cnt = min(batch, len(seqs) - off)
-        bounds.append((off, cnt))
-        off += cnt
+    if pe:
+        # insert-size stats are batch-scoped (mem_pestat), so the PE golden
+        # corresponds to the whole file as one batch (the device pipeline
+        # microbatches internally)
+        bounds.append((0, len(seqs)))
+    else:
+        off = 0
+        while off < len(seqs):
+            cnt = min(batch, len(seqs) - off)
+            bounds.append((off, cnt))
+            off += cnt
 
     import concurrent.futures
 
@@ -88,14 +103,16 @@ def main():
 
     # correctness gate: byte-identity vs the reference engine's output
     golden = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                          "tests", "golden", "se_10k.sam")
+                          "tests", "golden",
+                          "pe_10k.sam" if pe else "se_10k.sam")
     ok = True
     if os.path.exists(golden):
         got = "".join(s.sam for s in seqs)
         ok = got == open(golden).read()
 
     print(json.dumps({
-        "metric": "reads_aligned_per_sec_per_chip_se" + ("" if ok else "_WRONG_OUTPUT"),
+        "metric": "reads_aligned_per_sec_per_chip_"
+                  + ("pe" if pe else "se") + ("" if ok else "_WRONG_OUTPUT"),
         "value": round(reads_per_sec, 1),
         "unit": "reads/s",
         "vs_baseline": round(reads_per_sec / BASELINE_READS_PER_SEC, 3),

@@ -336,8 +336,12 @@ int main(int argc, char **argv) {
     bwa_verbose = 1; /* silence info logs for clean stdout */
     bwaidx_t *idx = bwa_idx_load_from_disk(argv[2], BWA_IDX_ALL);
     if (!idx) { fprintf(stderr, "index load failed\n"); return 2; }
-    if (!strcmp(mode, "mem")) return run_mem(idx, opt, argc - 3, argv + 3);
-    if (!strcmp(mode, "smem")) return run_smem(idx, opt, argc - 3, argv + 3);
+    /* positional (non-option) args only for the file-taking modes */
+    char *pos[8]; int npos = 0;
+    for (int i = 3; i < argc && npos < 8; i++)
+        if (argv[i][0] != '-') pos[npos++] = argv[i];
+    if (!strcmp(mode, "mem")) return run_mem(idx, opt, npos, pos);
+    if (!strcmp(mode, "smem")) return run_smem(idx, opt, npos, pos);
     if (!strcmp(mode, "regs")) return run_regs(idx, opt, argv[3]);
     if (!strcmp(mode, "chains")) return run_chains(idx, opt, argv[3]);
     if (!strcmp(mode, "fixmate")) return run_fixmate(idx, opt, argc - 3, argv + 3);

@@ -96,3 +96,30 @@ def test_pe_1k_device(index, golden_dir):
     got = "".join(s.sam for s in seqs)
     want = (golden_dir / "pe_1k.sam").read_text()
     assert got == want, _diff(got, want)
+
+
+def test_se_300_T20(engines, golden_dir):
+    """-T (score threshold) option parity (mainParallel.c:318)."""
+    fm, refs = engines
+    opt = mem_opt_init()
+    opt.T = 20
+    seqs = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=300)
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "se_300_T20.sam").read_text()
+    assert got == want, _diff(got, want)
+
+
+def test_se_300_all_hits(engines, golden_dir):
+    """-a (output all hits as secondary) parity (MEM_F_ALL paths in
+    mem_reg2sam / mem_gen_alt)."""
+    from mpibwa_tpu.core.opts import MEM_F_ALL
+
+    fm, refs = engines
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_ALL
+    seqs = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=300)
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "se_300_a.sam").read_text()
+    assert got == want, _diff(got, want)
