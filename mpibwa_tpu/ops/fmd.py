@@ -90,8 +90,12 @@ class DeviceFMIndex:
         words = self.data[blk]  # (..., 8) uint32
         widx = jnp.arange(8, dtype=jnp.int32)
         nvalid = jnp.clip(within[..., None] + 1 - widx * 16, 0, 16)  # (..., 8)
-        shift = (32 - 2 * nvalid).astype(jnp.uint32)
-        mask = (~((jnp.uint64(1) << shift.astype(jnp.uint64)) - 1)).astype(jnp.uint32)
+        # mask = ~((1 << (32 - 2*nvalid)) - 1) in pure uint32: split the
+        # shift in half and square so the nvalid==0 case wraps to 0 exactly
+        # (2^32 mod 2^32) instead of needing emulated uint64 shifts
+        half = (16 - nvalid).astype(jnp.uint32)  # shift/2; shift is even
+        v = jnp.uint32(1) << half
+        mask = ~(v * v - jnp.uint32(1))
         w = words & mask
         nw = ~w
         cnts = []
