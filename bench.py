@@ -58,7 +58,7 @@ def main():
         seqs = read_fastq(f"{DATA}/HCC1187C_R1_10K.fastq")
 
     batch = int(os.environ.get("BENCH_BATCH", "2048"))
-    workers = int(os.environ.get("BENCH_WORKERS", "2"))
+    workers = int(os.environ.get("BENCH_WORKERS", "3"))
     from mpibwa_tpu.ops.fmd import DeviceFMIndex
 
     dfm = DeviceFMIndex(idx)
