@@ -332,6 +332,9 @@ int main(int argc, char **argv) {
         if (strncmp(argv[i], "-T", 2) == 0) opt->T = atoi(argv[i] + 2);
         else if (strncmp(argv[i], "-t", 2) == 0) opt->n_threads = atoi(argv[i] + 2);
         else if (strncmp(argv[i], "-a", 2) == 0) opt->flag |= MEM_F_ALL;
+        else if (strncmp(argv[i], "-Y", 2) == 0) opt->flag |= MEM_F_SOFTCLIP;
+        else if (strncmp(argv[i], "-k", 2) == 0) opt->min_seed_len = atoi(argv[i] + 2);
+        else if (strncmp(argv[i], "-L", 2) == 0) opt->pen_clip5 = opt->pen_clip3 = atoi(argv[i] + 2);
     }
     bwa_verbose = 1; /* silence info logs for clean stdout */
     bwaidx_t *idx = bwa_idx_load_from_disk(argv[2], BWA_IDX_ALL);

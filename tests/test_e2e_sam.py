@@ -123,3 +123,36 @@ def test_se_300_all_hits(engines, golden_dir):
     got = "".join(s.sam for s in seqs)
     want = (golden_dir / "se_300_a.sam").read_text()
     assert got == want, _diff(got, want)
+
+
+@pytest.mark.parametrize("golden,setup", [
+    ("se_300_k25.sam", lambda o: setattr(o, "min_seed_len", 25)),    # -k25
+    ("se_300_L10.sam", lambda o: (setattr(o, "pen_clip5", 10),       # -L10
+                                  setattr(o, "pen_clip3", 10))),
+])
+def test_se_300_option_variants(engines, golden_dir, golden, setup):
+    """Option parity for -k (min seed len) and -L (clipping penalty)
+    against oracle goldens."""
+    fm, refs = engines
+    opt = mem_opt_init()
+    setup(opt)
+    seqs = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=300)
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / golden).read_text()
+    assert got == want, _diff(got, want)
+
+
+def test_se_softclip_supplementary(engines, golden_dir):
+    """-Y parity (soft-clip instead of hard-clip on supplementary
+    alignments), on the subset of reads that actually produce SA: splits."""
+    from mpibwa_tpu.core.opts import MEM_F_SOFTCLIP
+
+    fm, refs = engines
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_SOFTCLIP
+    seqs = read_fastq(str(golden_dir / "supp_reads.fq"))
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "se_supp_Y.sam").read_text()
+    assert got == want, _diff(got, want)
