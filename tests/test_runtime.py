@@ -272,3 +272,27 @@ def test_native_fixmate_matches_python(index, golden_dir):
         assert res == (a.sam, b.sam), f"native fixmate differs for {qname}"
         n += 1
     assert n == 1000
+
+
+def test_cli_bgzf_output(idx_prefix, tmp_path):
+    """-g writes BGZF (.gz) output that gunzips to the SAM text, ending
+    with the 28-byte BGZF EOF magic (mainParallel.c:1509-1516)."""
+    import gzip
+
+    from mpibwa_tpu.cli import main
+    from mpibwa_tpu.io.bgzf import BGZF_EOF
+
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        sub.write_text("".join(next(f) for _ in range(50 * 4)))
+    out = tmp_path / "zz"
+    assert main(["mem", "-g", "-o", str(out), idx_prefix, str(sub)]) == 0
+    sam_out = tmp_path / "ss"
+    assert main(["mem", "-o", str(sam_out), idx_prefix, str(sub)]) == 0
+    data = open(str(out) + ".gz", "rb").read()
+    assert data.endswith(BGZF_EOF)
+    text = gzip.decompress(data).decode()
+    want = open(str(sam_out) + ".sam").read()
+    # @PG CL differs (-g and -o paths are part of argv); compare the rest
+    strip = lambda t: [l for l in t.splitlines() if not l.startswith("@PG")]
+    assert strip(text) == strip(want)
