@@ -2,8 +2,14 @@
 
 Usage:
   python -m mpibwa_tpu.cli mem [options] <ref> <R1.fastq> [R2.fastq]
+  python -m mpibwa_tpu.cli membychr [options] <ref> <R1> [R2]  (per-chromosome)
   python -m mpibwa_tpu.cli index <ref.fasta>         (bwa index equivalent)
   python -m mpibwa_tpu.cli idx <ref.fasta>           (mpiBWAIdx equivalent)
+  python -m mpibwa_tpu.cli merge <out> <shard0> ...  (multi-process merge)
+
+Env knobs: MPIBWA_DEVICES=all|N (intra-host device fan-out),
+MPIBWA_WORKERS=k (pipelined workers per device), MPIBWA_SHARD/MPIBWA_NSHARDS
+(multi-process sharding; pair with `merge`), MPIBWA_MICROBATCH (device batch).
 
 The mem options replicate mainParallel.c:291-396 (bwa-mem surface + the
 tool flags -o/-f/-b/-g/-K/-z); -z is accepted as a placement hint (index
@@ -346,7 +352,8 @@ def main_merge(argv):
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
-        print("usage: mpibwa-tpu {mem|index|idx} ...", file=sys.stderr)
+        print("usage: mpibwa-tpu {mem|membychr|index|idx|merge} ...",
+              file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "mem":
