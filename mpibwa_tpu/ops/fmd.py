@@ -122,7 +122,24 @@ class DeviceFMIndex:
     # -- batched bidirectional extension (bwt_extend, bwt.c:262-275) ---------
 
     def extend(self, ik: jnp.ndarray, is_back: int) -> jnp.ndarray:
-        """ik: (..., 3) idt intervals -> ok: (..., 4, 3) for the 4 bases."""
+        """ik: (..., 3) idt intervals -> ok: (..., 4, 3) for the 4 bases.
+
+        MPIBWA_PALLAS=1 serves eligible shapes (2-D, int32 intervals,
+        entry count a multiple of its block) via the fused Pallas kernel
+        (ops/pallas_occ4.py): ~6x faster as a standalone dispatch,
+        bit-identical output. Off by default because inside the backward
+        round loop XLA fusion already closes most of that gap (measured
+        neutral end-to-end) while the kernel adds compile time; it is the
+        seed of the round-2 full round-body fusion."""
+        import os
+
+        if (os.environ.get("MPIBWA_PALLAS", "0") == "1"
+                and self.idt == jnp.int32 and ik.ndim == 2
+                and jax.default_backend() != "cpu"):
+            from mpibwa_tpu.ops import pallas_occ4 as P
+
+            if ik.shape[0] % P.block_for(ik.shape[0]) == 0:
+                return P.extend_pallas(self, ik, is_back, False)
         col = 0 if is_back else 1  # x[!is_back]
         oth = 1 - col
         kq = ik[..., col] - 1

@@ -90,3 +90,27 @@ def test_microbatch_boundary_identity(dfm, index, golden_dir):
     want = "".join(l for l in (golden_dir / "se_1k.sam").read_text()
                    .splitlines(keepends=True) if l.split("\t", 1)[0] in names)
     assert got == want
+
+
+def test_pallas_extend_matches_xla(dfm, index):
+    """The fused Pallas occ4/extend kernel (interpret mode on CPU) must
+    match the XLA path bit-for-bit."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpibwa_tpu.ops.pallas_occ4 import BE, extend_pallas
+
+    rng = np.random.default_rng(11)
+    E = 2 * BE
+    x0 = rng.integers(1, index.seq_len, E)
+    x2 = rng.integers(1, 64, E)
+    x2 = np.minimum(x2, index.seq_len - x0 + 1)
+    ik = np.stack([x0, rng.integers(1, index.seq_len, E), x2],
+                  axis=1).astype(np.int32)
+    # include sentinel-triggering rows (k-1 < 0)
+    ik[:4, 0] = 1
+    ik_d = jnp.asarray(ik)
+    for is_back in (1, 0):
+        want = np.asarray(dfm.extend(ik_d, is_back))
+        got = np.asarray(extend_pallas(dfm, ik_d, is_back, True))
+        np.testing.assert_array_equal(got, want)
