@@ -62,6 +62,20 @@ class DeviceFMIndex:
         self.l_pac = int(idx.l_pac)
         self.sa_lookup_jit = lambda ks: _sa_lookup_jit(self, ks)
 
+    def fused_blocks(self) -> jnp.ndarray:
+        """(n_blocks, 12) int32 fused occ+data rows: one gather serves both
+        the occ counts and the packed words (used by the fused Pallas
+        backward, ops/pallas_bwd.py). int32 interval path only. Built once
+        on device and cached."""
+        if getattr(self, "_fused", None) is None:
+            assert self.idt == jnp.int32, "fused blocks need int32 occ"
+            import jax.numpy as _jnp
+
+            self._fused = _jnp.concatenate(
+                [self.occ.astype(_jnp.int32),
+                 _jnp.asarray(self.data).view(_jnp.int32)], axis=1)
+        return self._fused
+
     def ref_base(self, pos: jnp.ndarray) -> jnp.ndarray:
         """Reference base at doubled-coordinate pos (bns_get_seq semantics:
         positions >= l_pac are the reverse complement strand). pos clipped
