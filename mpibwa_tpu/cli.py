@@ -6,6 +6,9 @@ Usage:
   python -m mpibwa_tpu.cli index <ref.fasta>         (bwa index equivalent)
   python -m mpibwa_tpu.cli idx <ref.fasta>           (mpiBWAIdx equivalent)
   python -m mpibwa_tpu.cli merge <out> <shard0> ...  (multi-process merge)
+  python -m mpibwa_tpu.cli mergebychr <out_dir> <shard_dir0> ...
+  python -m mpibwa_tpu.cli launch -n N {mem|membychr} [options] ...
+      (one-command distribution: spawn N shards, align, merge)
 
 Env knobs: MPIBWA_DEVICES=all|N (intra-host device fan-out),
 MPIBWA_WORKERS=k (pipelined workers per device), MPIBWA_SHARD/MPIBWA_NSHARDS
@@ -47,6 +50,7 @@ def main_mem(argv, by_chr: bool = False):
     explicitly = set()
     mode = None
     file_out = None
+    verbose = 3  # bwa_verbose default (mainParallel.c:478)
     write_format = 2  # SAM
     dofixmate = False
     copy_comment = False
@@ -119,7 +123,7 @@ def main_mem(argv, by_chr: bool = False):
         elif c == "d":
             seti("zdrop", int(a))
         elif c == "v":
-            pass  # verbosity
+            verbose = int(a)
         elif c == "j":
             ignore_alt = True
         elif c == "r":
@@ -232,6 +236,24 @@ def main_mem(argv, by_chr: bool = False):
     from mpibwa_tpu.index.format import load_image, load_index
     import os
 
+    # preflight with exit(2) messages (mainParallel.c:604-633)
+    if not (os.path.exists(ref + ".tpumap")
+            or all(os.path.exists(ref + e)
+                   for e in (".bwt", ".sa", ".ann", ".amb", ".pac"))):
+        print(f"[E::main_mem] index not found: need {ref}.tpumap or the "
+              f"bwa index files {ref}.{{bwt,sa,ann,amb,pac}} "
+              f"(run `cli index` then `cli idx`)", file=sys.stderr)
+        return 2
+    for fq in (r1, r2):
+        if fq is not None and not os.path.isfile(fq):
+            print(f"[E::main_mem] input not found: {fq}", file=sys.stderr)
+            return 2
+    out_parent = os.path.dirname(os.path.abspath(file_out))
+    if not os.path.isdir(out_parent):
+        print(f"[E::main_mem] output directory does not exist: {out_parent}",
+              file=sys.stderr)
+        return 2
+
     if os.path.exists(ref + ".tpumap"):
         idx = load_image(ref + ".tpumap")
     else:
@@ -274,13 +296,28 @@ def main_mem(argv, by_chr: bool = False):
     n_shards = int(os.environ.get("MPIBWA_NSHARDS", "1"))
     rt = Runtime(idx, opt, use_device=use_device,
                  fixed_chunk_size=fixed_chunk_size, devices=devices,
-                 shard=shard, n_shards=n_shards)
+                 shard=shard, n_shards=n_shards, verbose=verbose >= 3)
     if by_chr:
-        paths = rt.run_by_chr(r1, r2, file_out, write_format, dofixmate,
+        # sharded runs write complete per-shard directories merged by
+        # `cli mergebychr` (the mpiBWAByChr write stage,
+        # mainParallelByChromosome.c:1462-1563, distributes through a
+        # shared file pointer; we distribute through per-shard extents)
+        out_dir = (f"{file_out}.shard{shard}" if n_shards > 1 else file_out)
+        paths = rt.run_by_chr(r1, r2, out_dir, write_format, dofixmate,
                               hdr_line, rg_line, pg_line, rg_id, copy_comment,
                               pes0)
-        print(f"wrote {len(paths)} by-chromosome outputs under {file_out}",
-              file=sys.stderr)
+        if n_shards > 1:
+            import json
+
+            with open(os.path.join(out_dir, "manifest.json"), "w") as mf:
+                json.dump({"shard": shard, "n_shards": n_shards,
+                           "header_len": rt.header_len,
+                           "format": write_format,
+                           "files": rt.out_files,
+                           "manifest": rt.last_manifest}, mf)
+        if verbose >= 3:
+            print(f"wrote {len(paths)} by-chromosome outputs under "
+                  f"{out_dir}", file=sys.stderr)
     else:
         path = rt.run(r1, r2, file_out, write_format, dofixmate, hdr_line,
                       rg_line, pg_line, rg_id, copy_comment, pes0)
@@ -290,8 +327,10 @@ def main_mem(argv, by_chr: bool = False):
             with open(path + ".manifest.json", "w") as mf:
                 json.dump({"shard": shard, "n_shards": n_shards,
                            "header_len": rt.header_len,
+                           "format": write_format,
                            "manifest": rt.last_manifest}, mf)
-        print(f"output written to {path}", file=sys.stderr)
+        if verbose >= 3:
+            print(f"output written to {path}", file=sys.stderr)
     return 0
 
 
@@ -344,16 +383,142 @@ def main_merge(argv):
         return 1
     merge_shard_outputs([p for _, p in sidecars_by_shard],
                         [m["manifest"] for m, _ in sidecars_by_shard],
-                        out, sidecars_by_shard[0][0]["header_len"])
+                        out, sidecars_by_shard[0][0]["header_len"],
+                        sidecars_by_shard[0][0].get("format", 2))
     print(f"merged {n} shards into {out}", file=sys.stderr)
     return 0
 
 
+def main_merge_bychr(argv):
+    """Merge per-shard by-chromosome directories (written with membychr +
+    MPIBWA_SHARD/MPIBWA_NSHARDS): cli mergebychr OUT_DIR SHARD_DIR0 …"""
+    import json
+    import os
+
+    from mpibwa_tpu.parallel.runtime import merge_bychr_outputs
+
+    if len(argv) < 2:
+        print("usage: mergebychr <out_dir> <shard_dir0> [<shard_dir1> ...]",
+              file=sys.stderr)
+        return 1
+    out_dir, shard_dirs = argv[0], argv[1:]
+    sidecars = []
+    for d in shard_dirs:
+        with open(os.path.join(d, "manifest.json")) as mf:
+            sidecars.append(json.load(mf))
+    by_shard = sorted(zip(sidecars, shard_dirs), key=lambda t: t[0]["shard"])
+    n = by_shard[0][0]["n_shards"]
+    if len(shard_dirs) != n or [m["shard"] for m, _ in by_shard] \
+            != list(range(n)):
+        print(f"[E::mergebychr] expected {n} shards 0..{n-1}, got "
+              f"{sorted(m['shard'] for m in sidecars)}", file=sys.stderr)
+        return 1
+    paths = merge_bychr_outputs([d for _, d in by_shard],
+                                [m["manifest"] for m, _ in by_shard],
+                                by_shard[0][0]["files"], out_dir,
+                                by_shard[0][0]["header_len"],
+                                by_shard[0][0].get("format", 2))
+    print(f"merged {n} shards into {len(paths)} files under {out_dir}",
+          file=sys.stderr)
+    return 0
+
+
+def main_launch(argv):
+    """One-command distribution (the `mpirun -n N mpiBWA` analog):
+
+      cli launch -n N [--keep] {mem|membychr} [options] -o OUT REF R1 [R2]
+
+    Spawns N shard processes (MPIBWA_SHARD=i, MPIBWA_NSHARDS=N), waits,
+    merges their outputs deterministically, and removes the shard files.
+    Replaces the reference's MPI launcher + RMA ticket loop
+    (mainParallel.c:517-519, 1109-1123) with processes + extent merge."""
+    import os
+    import subprocess
+
+    keep = False
+    n = None
+    i = 0
+    while i < len(argv) and argv[i] in ("-n", "--keep"):
+        if argv[i] == "--keep":
+            keep = True
+            i += 1
+        else:
+            if i + 1 >= len(argv):
+                break
+            n = int(argv[i + 1])
+            i += 2
+    rest = argv[i:]
+    if n is None or n < 1 or not rest or rest[0] not in ("mem", "membychr"):
+        print("usage: launch -n N [--keep] {mem|membychr} [options] "
+              "-o OUT REF R1 [R2]", file=sys.stderr)
+        return 1
+    sub, sub_args = rest[0], rest[1:]
+    try:
+        out = sub_args[sub_args.index("-o") + 1]
+    except (ValueError, IndexError):
+        print("[E::launch] -o OUT is required", file=sys.stderr)
+        return 1
+    write_format = 2
+    if "-b" in sub_args:
+        write_format = 1
+    elif "-g" in sub_args:
+        write_format = 0
+    by_chr = sub == "membychr"
+
+    if n == 1:
+        return main_mem(sub_args, by_chr=by_chr)
+
+    procs = []
+    for k in range(n):
+        env = dict(os.environ, MPIBWA_SHARD=str(k), MPIBWA_NSHARDS=str(n))
+        args = list(sub_args)
+        if not by_chr:
+            # per-shard output files; merged into OUT afterwards
+            args[args.index("-o") + 1] = f"{out}.shard{k}"
+        procs.append(subprocess.Popen(
+            [sys.executable, "-m", "mpibwa_tpu.cli", sub] + args, env=env))
+    rc = 0
+    for k, p in enumerate(procs):
+        r = p.wait()
+        if r != 0:
+            print(f"[E::launch] shard {k} exited with {r}", file=sys.stderr)
+            rc = r
+    if rc != 0:
+        return rc
+
+    ext = {2: ".sam", 1: ".bam", 0: ".gz"}[write_format]
+    if by_chr:
+        shard_dirs = [f"{out}.shard{k}" for k in range(n)]
+        rc = main_merge_bychr([out] + shard_dirs)
+        if rc == 0 and not keep:
+            import shutil
+
+            for d in shard_dirs:
+                shutil.rmtree(d)
+    else:
+        shard_paths = [f"{out}.shard{k}{ext}" for k in range(n)]
+        rc = main_merge([out + ext] + shard_paths)
+        if rc == 0 and not keep:
+            for p_ in shard_paths:
+                os.remove(p_)
+                os.remove(p_ + ".manifest.json")
+    return rc
+
+
 def main(argv=None):
+    import os
+
+    # the axon TPU plugin ignores the JAX_PLATFORMS env var; honor it here
+    # so launched shard subprocesses (and CI) land on the intended backend
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
     argv = argv if argv is not None else sys.argv[1:]
     if not argv:
-        print("usage: mpibwa-tpu {mem|membychr|index|idx|merge} ...",
-              file=sys.stderr)
+        print("usage: mpibwa-tpu {mem|membychr|index|idx|merge|mergebychr|"
+              "launch} ...", file=sys.stderr)
         return 1
     cmd, rest = argv[0], argv[1:]
     if cmd == "mem":
@@ -367,6 +532,10 @@ def main(argv=None):
         return main_idx(rest)
     if cmd == "merge":
         return main_merge(rest)
+    if cmd == "mergebychr":
+        return main_merge_bychr(rest)
+    if cmd == "launch":
+        return main_launch(rest)
     print(f"unsupported command: {cmd}", file=sys.stderr)
     return 1
 

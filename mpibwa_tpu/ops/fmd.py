@@ -76,6 +76,66 @@ class DeviceFMIndex:
                  _jnp.asarray(self.data).view(_jnp.int32)], axis=1)
         return self._fused
 
+    def occ4_cols(self, ks: jnp.ndarray) -> jnp.ndarray:
+        """(E,) int positions (negative = sentinel -1) -> (4, E) idt.
+
+        Column-layout variant of occ4 (bwt_occ4 semantics, bwt.c:169-186)
+        used by the contiguous backward engine (seeding_flat.contig).
+        Blocks are gathered ROW-major (one contiguous 32-byte slice per
+        index — the fast TPU gather path; a minor-axis gather from the
+        transposed table measured ~100x slower) and transposed on device
+        so the arithmetic and outputs run in packed (4/8, E) column
+        layout."""
+        sent = ks < 0
+        k = jnp.where(sent, 0, ks)
+        k = k - (k >= self.primary)
+        blk = (k >> 7).astype(jnp.int32)
+        within = (k & 127).astype(jnp.int32)
+        words = jnp.transpose(self.data[blk])  # (8, E) uint32
+        widx = jnp.arange(8, dtype=jnp.int32)[:, None]
+        nvalid = jnp.clip(within[None, :] + 1 - widx * 16, 0, 16)  # (8, E)
+        half = (16 - nvalid).astype(jnp.uint32)
+        v = jnp.uint32(1) << half
+        mask = ~(v * v - jnp.uint32(1))
+        w = words & mask
+        nw = ~w
+        cnts = []
+        for c in range(4):
+            a = (w if c & 2 else nw) >> 1
+            b = w if c & 1 else nw
+            m = a & b & M55
+            cnts.append(_popcount_pairs(m).sum(axis=0))
+        cnt = jnp.stack(cnts, axis=0)  # (4, E) int32
+        corr = (16 - nvalid).sum(axis=0)
+        cnt = cnt.at[0].add(-corr)
+        out = (jnp.transpose(self.occ[blk]) + cnt).astype(self.idt)
+        return jnp.where(sent[None, :], jnp.asarray(0, self.idt), out)
+
+    def extend_back1(self, k, l, s, c):
+        """Backward-extend (E,) intervals by per-entry base c (0..3);
+        single-char analog of extend(is_back=1) (bwt_extend, bwt.c:262-275)
+        in column layout. Garbage c for masked entries is harmless."""
+        kq = k - 1
+        tk = self.occ4_cols(kq)  # (4, E)
+        tl = self.occ4_cols(kq + s)
+        x2 = tl - tk
+        add = ((k <= self.primary)
+               & (k + s - 1 >= self.primary)).astype(self.idt)
+        l3 = l + add
+        lb2 = l3 + x2[3]
+        lb1 = lb2 + x2[2]
+        lb0 = lb1 + x2[1]
+
+        def pick(v0, v1, v2_, v3):
+            return jnp.where(c == 0, v0, jnp.where(c == 1, v1,
+                             jnp.where(c == 2, v2_, v3)))
+
+        kc = pick(self.L2[0], self.L2[1], self.L2[2], self.L2[3]) + 1 \
+            + pick(tk[0], tk[1], tk[2], tk[3])
+        sc = pick(x2[0], x2[1], x2[2], x2[3])
+        lc = pick(lb0, lb1, lb2, l3)
+        return kc, lc, sc
+
     def ref_base(self, pos: jnp.ndarray) -> jnp.ndarray:
         """Reference base at doubled-coordinate pos (bns_get_seq semantics:
         positions >= l_pac are the reverse complement strand). pos clipped

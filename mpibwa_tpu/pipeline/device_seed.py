@@ -122,6 +122,22 @@ class DeviceSeeder:
 
         NLp = pad4(N)
         lane_row, lane_tbl, x0, minv, E = build_tables(call_list, NLp, pad4)
+        if mode == "contig":
+            def pad2(n):
+                c = 1024
+                while c < n:
+                    c <<= 1
+                return c
+
+            E = pad2(E)
+            cols = SF.assemble_cols(ivals_dev, infos_dev,
+                                    jnp.asarray(lane_row),
+                                    jnp.asarray(lane_tbl), E)
+            mems, overflow = SF.run_backward_contig(
+                self.dfm, qd[jnp.asarray(lane_row)], cols, NLp, x0, minv)
+            for ln in np.nonzero(overflow[:N])[0]:
+                mark(call_list[ln][0])
+            return mems[:N]
         ik, info, lane, live = SF.assemble_entries(
             ivals_dev, infos_dev, jnp.asarray(lane_row),
             jnp.asarray(lane_tbl), E)

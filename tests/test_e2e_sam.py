@@ -80,6 +80,55 @@ def test_full_10k_pe(engines, golden_dir):
     assert got == want, _diff(got, want)
 
 
+def test_pe_1k_trim(engines, golden_dir):
+    """Trimmed (variable-length) PE identity — the mainParallel.c:1520-2556
+    branch's read shape. Golden from the oracle on the first 1K pairs of
+    the bundled *_TRIM fastqs."""
+    fm, refs = engines
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_PE
+    r1 = read_fastq(fastq_path("HCC1187C_R1_10K_TRIM.fastq"), limit=1000)
+    r2 = read_fastq(fastq_path("HCC1187C_R2_10K_TRIM.fastq"), limit=1000)
+    seqs = interleave(r1, r2)
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "pe_1k_trim.sam").read_text()
+    assert got == want, _diff(got, want)
+
+
+@pytest.mark.slow
+def test_full_10k_pe_trim(engines, golden_dir):
+    """Full trimmed-PE file vs the reference engine
+    (find_chunks_info_trim input shape, parallel_aux.c:861)."""
+    fm, refs = engines
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_PE
+    seqs = interleave(read_fastq(fastq_path("HCC1187C_R1_10K_TRIM.fastq")),
+                      read_fastq(fastq_path("HCC1187C_R2_10K_TRIM.fastq")))
+    process_seqs(opt, fm, refs, seqs)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "pe_10k_trim.sam").read_text()
+    assert got == want, _diff(got, want)
+
+
+def test_pe_trim_device(index, golden_dir):
+    """Trimmed-PE identity through the device pipeline (variable-length
+    reads exercise the length-bucket padding paths)."""
+    from mpibwa_tpu.core.opts import mem_opt_init
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_PE
+    al = DeviceAligner(index, opt)
+    r1 = read_fastq(fastq_path("HCC1187C_R1_10K_TRIM.fastq"), limit=1000)
+    r2 = read_fastq(fastq_path("HCC1187C_R2_10K_TRIM.fastq"), limit=1000)
+    seqs = interleave(r1, r2)
+    al.process_seqs(seqs, n_processed=0)
+    got = "".join(s.sam for s in seqs)
+    want = (golden_dir / "pe_1k_trim.sam").read_text()
+    assert got == want, _diff(got, want)
+
+
 def test_pe_1k_device(index, golden_dir):
     """PE identity through the device pipeline (same 1K-pair batch as
     test_pe_1k: pestat is batch-scoped so the golden matches exactly)."""

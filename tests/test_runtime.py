@@ -274,6 +274,105 @@ def test_native_fixmate_matches_python(index, golden_dir):
     assert n == 1000
 
 
+def test_cli_launch(idx_prefix, tmp_path):
+    """One-command distribution: `launch -n 2 mem` (spawn, align, merge)
+    equals the single-process run (the mpirun -n analog,
+    mainParallel.c:517-519 + 1109-1123)."""
+    from mpibwa_tpu.cli import main
+
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        sub.write_text("".join(next(f) for _ in range(120 * 4)))
+    out1 = tmp_path / "one"
+    assert main(["mem", "-K", "2000", "-o", str(out1), idx_prefix,
+                 str(sub)]) == 0
+    out2 = tmp_path / "launched"
+    assert main(["launch", "-n", "2", "mem", "-K", "2000", "-o", str(out2),
+                 idx_prefix, str(sub)]) == 0
+    strip = lambda p: [l for l in open(p) if not l.startswith("@PG")]
+    assert strip(str(out2) + ".sam") == strip(str(out1) + ".sam")
+    # shard intermediates are cleaned up
+    assert not (tmp_path / "launched.shard0.sam").exists()
+
+
+def test_cli_shard_merge_bgzf(idx_prefix, tmp_path, monkeypatch):
+    """Sharded -g runs merge into a valid BGZF whose decompressed text
+    equals the single-process run (chunk extents are compressed sizes;
+    parallel_aux.c:2941-3073 analog)."""
+    import gzip
+
+    from mpibwa_tpu.cli import main
+    from mpibwa_tpu.io.bgzf import BGZF_EOF
+
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        sub.write_text("".join(next(f) for _ in range(120 * 4)))
+    out1 = tmp_path / "one"
+    assert main(["mem", "-g", "-K", "2000", "-o", str(out1), idx_prefix,
+                 str(sub)]) == 0
+    shard_outs = []
+    for sh in range(2):
+        monkeypatch.setenv("MPIBWA_SHARD", str(sh))
+        monkeypatch.setenv("MPIBWA_NSHARDS", "2")
+        o = tmp_path / f"sh{sh}"
+        assert main(["mem", "-g", "-K", "2000", "-o", str(o), idx_prefix,
+                     str(sub)]) == 0
+        shard_outs.append(str(o) + ".gz")
+    monkeypatch.delenv("MPIBWA_SHARD")
+    monkeypatch.delenv("MPIBWA_NSHARDS")
+    merged = tmp_path / "merged.gz"
+    assert main(["merge", str(merged)] + shard_outs) == 0
+    data = merged.read_bytes()
+    assert data.endswith(BGZF_EOF)
+    strip = lambda t: [l for l in t.splitlines() if not l.startswith("@PG")]
+    assert strip(gzip.decompress(data).decode()) == \
+        strip(gzip.decompress((tmp_path / "one.gz").read_bytes()).decode())
+
+
+def test_cli_bychr_shard_merge(idx_prefix, tmp_path, monkeypatch):
+    """Sharded membychr + mergebychr equals the single-process by-chr run
+    (the mpiBWAByChr write stage, mainParallelByChromosome.c:1462-1563)."""
+    import os
+
+    from mpibwa_tpu.cli import main
+
+    inter = tmp_path / "inter.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f1, \
+            open(fastq_path("HCC1187C_R2_10K.fastq")) as f2, \
+            open(inter, "w") as out:
+        for _ in range(150):
+            for _ in range(4):
+                out.write(next(f1))
+            for _ in range(4):
+                out.write(next(f2))
+    one = tmp_path / "bychr1"
+    assert main(["membychr", "-p", "-K", "20000", "-o", str(one),
+                 idx_prefix, str(inter)]) == 0
+    two = tmp_path / "bychr2"
+    assert main(["launch", "-n", "2", "membychr", "-p", "-K", "20000",
+                 "-o", str(two), idx_prefix, str(inter)]) == 0
+    files1 = sorted(os.listdir(one))
+    assert sorted(os.listdir(two)) == files1 and files1
+    strip = lambda p: [l for l in open(p) if not l.startswith("@PG")]
+    for name in files1:
+        assert strip(two / name) == strip(one / name), name
+
+
+def test_cli_preflight(idx_prefix, tmp_path, capsys):
+    """Missing index/input/output dir exit(2) with a message
+    (mainParallel.c:604-633)."""
+    from mpibwa_tpu.cli import main
+
+    sub = tmp_path / "x.fq"
+    sub.write_text("@r\nACGT\n+\nIIII\n")
+    assert main(["mem", "-o", str(tmp_path / "o"), "/nonexistent/ref",
+                 str(sub)]) == 2
+    assert main(["mem", "-o", str(tmp_path / "o"), idx_prefix,
+                 str(tmp_path / "missing.fq")]) == 2
+    assert main(["mem", "-o", "/no/such/dir/out", idx_prefix,
+                 str(sub)]) == 2
+
+
 def test_cli_bgzf_output(idx_prefix, tmp_path):
     """-g writes BGZF (.gz) output that gunzips to the SAM text, ending
     with the 28-byte BGZF EOF magic (mainParallel.c:1509-1516)."""
