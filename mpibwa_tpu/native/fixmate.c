@@ -44,9 +44,14 @@ typedef struct { char *p; size_t len, cap; } Buf;
 
 static void buf_grow(Buf *b, size_t need) {
     if (b->len + need + 1 > b->cap) {
-        b->cap = (b->cap ? b->cap * 2 : 4096);
-        while (b->len + need + 1 > b->cap) b->cap *= 2;
-        b->p = realloc(b->p, b->cap);
+        size_t cap = (b->cap ? b->cap * 2 : 4096);
+        while (b->len + need + 1 > cap) cap *= 2;
+        char *p = realloc(b->p, cap);
+        if (!p) { /* OOM: keep old buffer; caller sees truncated output */
+            abort();
+        }
+        b->p = p;
+        b->cap = cap;
     }
 }
 
@@ -251,15 +256,32 @@ int mpibwa_fixmate_pair(const char *sam1, int len1, const char *sam2,
     (void)n1;
     Buf o1 = {0}, o2 = {0};
     Read *read1 = NULL, *read2 = NULL;
-    int have = 0;
+
+    /* Pairing state: read1/read2 must both be FRESH before emitting; a
+       record carrying both read flags, or the same flag twice in a row,
+       is malformed input -> return -1 so the caller falls back to the
+       Python fixmate (mirrors the reference's reset-per-pair discipline,
+       fixmate.c:694-806). */
+#define PAIR_TAKE(r)                                                     \
+    do {                                                                 \
+        if (((r)->flag & FREAD1) && ((r)->flag & FREAD2)) goto malformed;\
+        if ((r)->flag & FREAD1) {                                        \
+            if (read1) goto malformed;                                   \
+            read1 = (r);                                                 \
+        } else if ((r)->flag & FREAD2) {                                 \
+            if (read2) goto malformed;                                   \
+            read2 = (r);                                                 \
+        } else {                                                         \
+            goto malformed;                                              \
+        }                                                                \
+    } while (0)
 
     /* pass 1: both-unmapped pairs (fixmate.c:694-716) */
     for (int i = 0; i < nreads; i++) {
         Read *r = &reads[i];
         if (!r->dead && (r->flag & FUNMAP) && (r->flag & FMUNMAP)) {
-            if (r->flag & FREAD1) { read1 = r; have++; }
-            if (r->flag & FREAD2) { read2 = r; have++; }
-            if (have == 2) {
+            PAIR_TAKE(r);
+            if (read1 && read2) {
                 read1->flag |= FPAIRED;
                 read2->flag |= FPAIRED;
                 read2->mscore = read1->score;
@@ -267,21 +289,20 @@ int mpibwa_fixmate_pair(const char *sam1, int len1, const char *sam2,
                 w_unmapped_pair(&o1, read1, names, n_chr);
                 w_unmapped_pair(&o2, read2, names, n_chr);
                 read1->dead = read2->dead = 1;
-                have = 0;
+                read1 = read2 = NULL;
             }
         }
     }
 
     /* pass 2: both-mapped primary pairs (fixmate.c:719-767) */
-    have = 0;
+    read1 = read2 = NULL;
     for (int i = 0; i < nreads; i++) {
         Read *r = &reads[i];
         if (!r->dead && (r->flag & FPAIRED) && !(r->flag & FSECONDARY)
                 && !(r->flag & FSUPPLEMENTARY) && !(r->flag & FUNMAP)
                 && !(r->flag & FMUNMAP)) {
-            if (r->flag & FREAD1) { read1 = r; have++; }
-            if (r->flag & FREAD2) { read2 = r; have++; }
-            if (have == 2) {
+            PAIR_TAKE(r);
+            if (read1 && read2) {
                 read1->flag |= FPAIRED;
                 read2->flag |= FPAIRED;
                 int discordant = (read1->tid != read1->mtid)
@@ -297,13 +318,13 @@ int mpibwa_fixmate_pair(const char *sam1, int len1, const char *sam2,
                     w_normal(&o2, read2, names, n_chr);
                 }
                 read1->dead = read2->dead = 1;
-                have = 0;
+                read1 = read2 = NULL;
             }
         }
     }
 
     /* pass 3: supplementary/secondary + remaining pairs (fixmate.c:769-806) */
-    have = 0;
+    read1 = read2 = NULL;
     for (int i = 0; i < nreads; i++) {
         Read *r = &reads[i];
         if (!r->dead
@@ -313,9 +334,8 @@ int mpibwa_fixmate_pair(const char *sam1, int len1, const char *sam2,
             continue;
         }
         if (!r->dead && (r->flag & FPAIRED)) {
-            if (r->flag & FREAD1) { read1 = r; have++; }
-            if (r->flag & FREAD2) { read2 = r; have++; }
-            if (have == 2) {
+            PAIR_TAKE(r);
+            if (read1 && read2) {
                 read1->flag |= FPAIRED;
                 read2->flag |= FPAIRED;
                 sync_mate(read1, read2);
@@ -324,16 +344,22 @@ int mpibwa_fixmate_pair(const char *sam1, int len1, const char *sam2,
                 w_mate_unmapped(&o1, read1, names, n_chr);
                 w_mate_unmapped(&o2, read2, names, n_chr);
                 read1->dead = read2->dead = 1;
-                have = 0;
+                read1 = read2 = NULL;
             }
         }
     }
+#undef PAIR_TAKE
 
     buf_grow(&o1, 1); o1.p[o1.len] = 0;
     buf_grow(&o2, 1); o2.p[o2.len] = 0;
     *out1 = o1.p; *out1_len = (int)o1.len;
     *out2 = o2.p; *out2_len = (int)o2.len;
     return 0;
+
+malformed:
+    free(o1.p);
+    free(o2.p);
+    return -1;
 }
 
 void mpibwa_buf_free(char *p) { free(p); }

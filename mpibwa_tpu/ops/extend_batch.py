@@ -17,6 +17,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG = -(1 << 28)
 
@@ -211,10 +212,10 @@ def extend_batch(qs: jnp.ndarray, ts: jnp.ndarray, qlens: jnp.ndarray,
                      state["max_ie"] + 1, state["gscore"], state["max_off"])
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9, 10))
 def extend_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
                        T: int, params: jnp.ndarray, o_del: int, e_del: int,
-                       o_ins: int, e_ins: int, mat: jnp.ndarray = None
+                       o_ins: int, e_ins: int, ab=None, mat: jnp.ndarray = None
                        ) -> ExtendOut:
     """Build extension problems on device from coordinates and run the DP.
 
@@ -246,5 +247,15 @@ def extend_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
     ts = jnp.where(tvalid,
                    fm.ref_base(jnp.clip(tpos, 0, 2 * fm.l_pac - 1))
                    .astype(jnp.uint8), jnp.uint8(4))
+    if ab is not None:
+        # whole-DP Pallas kernel (ops/pallas_extend.py): one launch for the
+        # full row loop (13-51x the XLA while-loop here), and ONE packed
+        # (8, B) result so the host pays a single device->host pull
+        from .pallas_extend import _stage_and_run
+
+        B = coords.shape[0]
+        return _stage_and_run(qs, ts, q_len, t_len, params,
+                              jnp.asarray(np.array(ab, np.int32)), Q, T,
+                              (o_del, e_del, o_ins, e_ins), B)
     return extend_batch(qs, ts, q_len, t_len, params, mat,
                         o_del, e_del, o_ins, e_ins)

@@ -85,6 +85,18 @@ class DeviceAligner:
 
         self.mat55d = jnp.asarray(opt.mat.reshape(5, 5).astype(np.int32))
         self._qd = None  # device read batch of the current align_regs call
+        # whole-DP Pallas extension kernel: used when the scoring matrix is
+        # the standard bwa_fill_scmat(a,b) shape and we're on a real device
+        import os
+
+        from mpibwa_tpu.ops.pallas_extend import standard_mat_ab
+
+        self.ext_ab = None
+        if os.environ.get("MPIBWA_EXT", "auto") != "xla":
+            import jax
+
+            if jax.default_backend() != "cpu":
+                self.ext_ab = standard_mat_ab(opt.mat)
 
     # -- phase 2: SA resolution ---------------------------------------------
 
@@ -138,11 +150,22 @@ class DeviceAligner:
         c[:, 2] = 1  # dummy qlen
         c[: B] = coords
         p[: B] = params
+        # group similar target lengths so each Pallas lane-block's row loop
+        # exits as early as its longest problem allows
+        order = np.argsort(c[:B, 5], kind="stable")
+        c[:B] = c[:B][order]
+        p[:B] = p[:B][order]
         out = extend_from_coords(self.dfm, self._qd, jnp.asarray(c), Q, T,
                                  jnp.asarray(p), opt.o_del, opt.e_del,
-                                 opt.o_ins, opt.e_ins, self.mat55d)
-        res = np.stack([np.asarray(x) for x in out], axis=1)
-        return [tuple(int(v) for v in res[i]) for i in range(B)]
+                                 opt.o_ins, opt.e_ins, self.ext_ab,
+                                 self.mat55d)
+        if self.ext_ab is not None:  # packed (8, Bp): one device->host pull
+            res = np.asarray(out).T[:, :6]
+        else:
+            res = np.stack([np.asarray(x) for x in out], axis=1)
+        inv = np.empty(B, np.int64)
+        inv[order] = np.arange(B)
+        return [tuple(int(v) for v in res[inv[i]]) for i in range(B)]
 
     def _ext_batch_run(self, probs):
         """probs: list of (qs, ts, w, eb, zd, h0). Returns list of 6-tuples."""

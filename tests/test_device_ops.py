@@ -75,6 +75,27 @@ def test_device_collect_intv(dfm, fm, index):
     assert n_checked >= 40  # nearly all reads must take the device path
 
 
+@pytest.mark.parametrize("mode", ["contig", "pallas_interp"])
+def test_backward_engines_match_scalar(dfm, fm, mode, monkeypatch):
+    """Every backward-SMEM engine (XLA contig, fused Pallas round kernel)
+    must reproduce the scalar bwt_smem1a emission exactly (bwt.c:289-351)."""
+    from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
+
+    monkeypatch.setenv("MPIBWA_BWD", mode)
+    opt = mem_opt_init()
+    seeder = DeviceSeeder(dfm, opt)
+    reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=32)
+    got, fallback = seeder.collect_batch([s.seq for s in reads])
+    n_checked = 0
+    for i, s in enumerate(reads):
+        if got[i] is None:
+            continue
+        want = collect_intv(opt, fm, s.seq)
+        assert got[i] == want, f"{mode} collect mismatch for {s.name}"
+        n_checked += 1
+    assert n_checked >= 28
+
+
 def test_microbatch_boundary_identity(dfm, index, golden_dir):
     """Batches crossing the internal microbatch size must not change output
     (regression: the cigar precompute once used stale device rows)."""
