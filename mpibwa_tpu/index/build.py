@@ -109,7 +109,10 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
     tmp = np.zeros(n, dtype=np.int64)
     k = 1
     while True:
-        key2 = np.zeros(n, dtype=np.int64)
+        # past-end key must sort below EVERY group id; group ids start at 0
+        # after the first round, so 0 here would tie with the smallest
+        # suffix's group and never converge (hang) — use -1
+        key2 = np.full(n, -1, dtype=np.int64)
         idx = np.arange(n) + k
         valid = idx < n
         key2[valid] = rank[idx[valid]]
@@ -136,7 +139,12 @@ def build_fmindex(pac: np.ndarray, l_pac: int, sa_intv: int = 32):
     fwd = unpack_pac(pac, l_pac)
     seq = np.concatenate([fwd, (3 - fwd)[::-1]])  # forward + reverse complement
     n = len(seq)  # == seq_len
-    sa_full = suffix_array(seq)
+    # native SA-IS (O(n), genome-scale); numpy prefix doubling as fallback
+    from mpibwa_tpu.native import sais_u8
+
+    sa_native = sais_u8(seq)
+    sa_full = (sa_native.astype(np.int64) if sa_native is not None
+               else suffix_array(seq))
     # bwa's SA convention: rank 0 is the sentinel suffix ($); bwt_sa(k) for
     # k>=1 equals sa_full[k-1] ... with primary = rank of suffix 0 + 1
     # Reconstruct the C layout directly:

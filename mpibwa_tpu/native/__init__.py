@@ -17,7 +17,7 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "_libmpibwa.so")
-_SOURCES = ["fixmate.c"]
+_SOURCES = ["fixmate.c", "sais.c"]
 
 _lock = threading.Lock()
 _lib = None
@@ -63,6 +63,10 @@ def get_lib():
         ]
         lib.mpibwa_buf_free.restype = None
         lib.mpibwa_buf_free.argtypes = [ctypes.c_char_p]
+        lib.mpibwa_sais_u8.restype = ctypes.c_int
+        lib.mpibwa_sais_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+        ]
         _lib = lib
         return _lib
 
@@ -91,3 +95,24 @@ def fixmate_pair_native(sam1: str, sam2: str, names) -> tuple | None:
         lib.mpibwa_buf_free(o1)
         lib.mpibwa_buf_free(o2)
     return r1, r2
+
+
+def sais_u8(s_bytes) -> "object | None":
+    """SA-IS over a uint8 numpy array (alphabet inferred); returns an
+    int32 suffix array or None (caller uses the numpy prefix-doubling
+    fallback). n must be < 2^31."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None or len(s_bytes) >= (1 << 31) - 16:
+        return None
+    arr = np.ascontiguousarray(s_bytes, dtype=np.uint8)
+    n = len(arr)
+    sa = np.empty(n, np.int32)
+    K = int(arr.max()) + 1 if n else 1
+    rc = lib.mpibwa_sais_u8(arr.ctypes.data_as(ctypes.c_void_p),
+                            sa.ctypes.data_as(ctypes.c_void_p),
+                            ctypes.c_int64(n), ctypes.c_int32(K))
+    if rc != 0:
+        return None
+    return sa

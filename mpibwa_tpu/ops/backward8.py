@@ -1,0 +1,343 @@
+"""(8, W)-native XLA backward-SMEM engine ("v8"): minimal-gather rounds,
+no scans, no searchsorted, no host syncs.
+
+Cost model measured on this hardware (axon-tpu-environment memory,
+/tmp/r2_*.log): fused elementwise chains on (8, W) int32 are ~0.1 us/op,
+while EVERY non-fused data-movement op (gather, scatter, concatenate,
+transpose, cumsum) streams at only ~0.7 G elements/s, and segmented scans
+or searchsorted in a round body cost 0.6-4 ms. So a fast round = few
+gathers x small data + one fused elementwise cluster.
+
+Three algebraic facts about bwt_smem1a's backward pass (bwt.c:326-345)
+make that possible (all follow from per-lane intervals being NESTED with
+sizes non-decreasing in slot order, which bwt_extend preserves):
+
+1. Extension failures form a PREFIX of each lane's live entries and
+   keepers a SUFFIX, so "the first live entry" is a per-lane POINTER that
+   only moves to the first keeper's slot — maintained with one
+   scatter-min, no scan.
+2. Dedup (bwt.c:338 drops a keeper whose predecessor kept the same size)
+   is REDUNDANT here: nested intervals of equal size are the SAME
+   interval, so a duplicate behaves identically to its earlier twin every
+   subsequent round, fails in the same round, and can never sit at the
+   first-live pointer — it never emits and never diverges. Skipping dedup
+   changes no output.
+3. The backward interval x[1] of an emitted mem is consumed by NOTHING
+   downstream (mem_chain reads x[0]/x[2]/info only, bwamem.c:277-289;
+   x[1] exists for the forward half of the bidirectional search). v8
+   freezes x[1] at its forward-pass value instead of maintaining it,
+   which cuts the occ work per round from all 4 bases to the one chosen
+   base (bwt_extend's x[1] cascade is the only consumer of the other
+   three counts).
+
+The FM-index is queried through a derived OCC16 layout (cumulative counts
+every 16 bases + the one packed data word, split into two 1-D tables) so a
+rank query is 2 gathers + a dozen fused SWAR ops (multiply-free popcount).
+The layout is built once from the bwa-format index and is output-invariant.
+
+Capacity follows a STATIC shrink schedule (compact + halve every few
+rounds, then one while_loop tail) with device-side overflow flags instead
+of host-synced live counts — a shrink that would drop live entries flips
+the flag and the driver redoes that group on the exact flat engine
+(seeding_flat), so results are always exact.
+
+Differentially tested against the scalar engine in tests/test_device_ops.py
+(x[1] excluded for this engine).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+M33 = jnp.uint32(0x33333333)
+M55 = jnp.uint32(0x55555555)
+M0F = jnp.uint32(0x0F0F0F0F)
+BIG = np.int32(1 << 30)  # last_start "no mem yet" sentinel
+I0 = np.int32(0)
+I1 = np.int32(1)
+
+SEG_ROUNDS = 4       # rounds per full-capacity segment before a shrink
+MIN_CAP = 32768      # switch to the single while_loop tail at this capacity
+
+
+def build_occ16(bwt_arr):
+    """Derived OCC16 tables from the bwa interleaved bwt array:
+    occ16 (n16*4,) int32 — cumulative count of base c before 16-base
+    sub-block s at index (s << 2) | c — and w16 (n16,) int32 — the packed
+    word. Counts equal bwt_occ4's (the sampling interval is invisible)."""
+    n_blocks = len(bwt_arr) // 16
+    blocks = np.ascontiguousarray(bwt_arr[: n_blocks * 16]).reshape(
+        n_blocks, 16)
+    occ = blocks[:, :8].copy().view(np.uint64).astype(np.int64)  # (nb, 4)
+    words = np.ascontiguousarray(blocks[:, 8:])  # (nb, 8) uint32
+
+    def popcnt_pairs(m):
+        x = (m & 0x33333333) + ((m >> 2) & 0x33333333)
+        x = (x + (x >> 4)) & 0x0F0F0F0F
+        return (((x * 0x01010101) >> 24) & 0xFF).astype(np.int64)
+
+    w = words.astype(np.uint32)
+    nw = ~w
+    wc = np.zeros((n_blocks, 8, 4), np.int64)
+    for c in range(4):
+        a = (w if c & 2 else nw) >> 1
+        b = w if c & 1 else nw
+        wc[:, :, c] = popcnt_pairs(a & b & np.uint32(0x55555555))
+    # cumulative before each word within its block (exclusive)
+    wcum = np.zeros((n_blocks, 8, 4), np.int64)
+    wcum[:, 1:] = np.cumsum(wc, axis=1)[:, :-1]
+    occ16 = occ[:, None, :] + wcum  # (nb, 8, 4)
+    if occ16.max() > np.iinfo(np.int32).max:
+        raise ValueError("occ counts exceed int32")
+    occ16_flat = occ16.reshape(n_blocks * 8 * 4).astype(np.int32)
+    w16 = words.reshape(n_blocks * 8).view(np.int32)
+    return (jax.device_put(occ16_flat),
+            jax.device_put(np.ascontiguousarray(w16)))
+
+
+def _bytesum(x):
+    # multiply-free SWAR byte-sum (fields <= 16, no carries)
+    return ((x + (x >> 8) + (x >> 16) + (x >> 24))
+            & jnp.uint32(0x3F)).astype(jnp.int32)
+
+
+def _occ_c16(occ16, w16, primary, ks, c):
+    """Rank of base c (2-D int32 array, one per entry) at positions ks
+    (2-D int32, negative = sentinel): bwt_occ semantics via OCC16
+    (bwt.c:98-130 for one base, counting the first within+1 bases of the
+    MSB-first packed word)."""
+    sent = ks < I0
+    k = jnp.where(sent, I0, ks)
+    k = k - (k >= primary).astype(jnp.int32)
+    sb = k >> 4
+    within = k & np.int32(15)
+    base = occ16[(sb << 2) | c]
+    # zero the low 30 - 2*within bits => keep bases 0..within
+    sh = (np.int32(30) - np.int32(2) * within).astype(jnp.uint32)
+    keepmask = ~((jnp.uint32(1) << sh) - jnp.uint32(1))
+    w = lax.bitcast_convert_type(w16[sb], jnp.uint32) & keepmask
+    nw = ~w
+    a = jnp.where((c & np.int32(2)) != I0, w, nw) >> 1
+    b = jnp.where((c & np.int32(1)) != I0, w, nw)
+    m = a & b & M55
+    x = (m & M33) + ((m >> 2) & M33)
+    x = (x + (x >> 4)) & M0F
+    cnt = _bytesum(x)
+    # masked-off pad region counts as base 0 (bwt.c:183-184 analog)
+    corr = jnp.where(c == I0, np.int32(15) - within, I0)
+    out = base + cnt - corr
+    return jnp.where(sent, I0, out)
+
+
+# ---------------------------------------------------------------------------
+# round body
+# ---------------------------------------------------------------------------
+
+
+def _round8(occ16, w16, l2sel, primary, qflat, Ln, NL, st):
+    """One backward round. State:
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e — per-entry (8, W);
+     fp, last_start — per-lane (NL,);
+     emitted, em_start — per-entry (8, W))."""
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fp, last_start,
+     emitted, em_start) = st
+    S, W = ik0.shape
+    slot = lax.broadcasted_iota(jnp.int32, (S, W), 0) * np.int32(W) \
+        + lax.broadcasted_iota(jnp.int32, (S, W), 1)
+
+    valid = (i_e >= I0) & (i_e < Ln)
+    qoff = lane2d * Ln + jnp.clip(i_e, I0, Ln - I1)
+    qi = jnp.where(valid, qflat[qoff], np.int32(4))
+    c = jnp.minimum(qi, np.int32(3))
+    has_c = valid & (qi < np.int32(4))
+
+    kq = ik0 - I1
+    tk = _occ_c16(occ16, w16, primary, kq, c)
+    tl = _occ_c16(occ16, w16, primary, kq + ik2, c)
+    s2 = tl - tk
+    k2 = l2sel[c] + I1 + tk
+
+    liveb = live != I0
+    keeper = liveb & has_c & (s2 >= minv_e)
+
+    # emission: the lane's first live entry fails and is not contained
+    # (bwt.c:329-337); fp/last_start are (NL,) per-lane state
+    is_first = liveb & (slot == fp[lane2d])
+    emit = is_first & ~keeper & ((i_e + I1) < last_start[lane2d])
+    new_emitted = emitted | emit.astype(jnp.int32)
+    new_em_start = jnp.where(emit, i_e + I1, em_start)
+    last_start = last_start.at[
+        jnp.where(emit, lane2d, np.int32(NL))].min(
+            i_e + I1, mode="drop")
+
+    # keepers advance; fp moves to the smallest keeper slot per lane
+    fp = jnp.full_like(fp, np.int32(S * W)).at[
+        jnp.where(keeper, lane2d, np.int32(NL))].min(slot, mode="drop")
+
+    app = keeper
+    return (jnp.where(app, k2, ik0), ik1,
+            jnp.where(app, s2, ik2),
+            app.astype(jnp.int32),
+            jnp.where(app, i_e - I1, i_e),
+            info, lane2d, minv_e, fp, last_start, new_emitted, new_em_start)
+
+
+def _mk_state_args(occ16, w16, l2sel, primary, qflat, Ln, NL):
+    return lambda st: _round8(occ16, w16, l2sel, primary, qflat, Ln, NL, st)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5, 6))
+def segment8(tables, l2p, qflat, st, L: int, NL: int, n_rounds: int):
+    """n_rounds rounds at the current capacity (one dispatch, no syncs)."""
+    occ16, w16 = tables
+    l2sel = l2p[:4]
+    rb = _mk_state_args(occ16, w16, l2sel, l2p[4], qflat, np.int32(L), NL)
+    return lax.fori_loop(0, n_rounds, lambda i, s: rb(s), st)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def tail8(tables, l2p, qflat, st, L: int, NL: int):
+    """Run rounds until no entry is live (single dispatch)."""
+    occ16, w16 = tables
+    l2sel = l2p[:4]
+    rb = _mk_state_args(occ16, w16, l2sel, l2p[4], qflat, np.int32(L), NL)
+
+    def cond(carry):
+        r, st = carry
+        return (r < np.int32(L + 2)) & jnp.any(st[3] != I0)
+
+    def body(carry):
+        r, st = carry
+        return r + I1, rb(st)
+
+    _, st = lax.while_loop(cond, body, (jnp.int32(0), st))
+    return st
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def shrink8(st, newE: int, NL: int):
+    """Device compaction to a smaller capacity. Stable order keeps lanes
+    contiguous/ascending; overflow flag = live entries didn't fit."""
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fp, last_start,
+     emitted, em_start) = st
+    S = 8
+    W = ik0.shape[1]
+    E = S * W
+    W2 = newE // S
+    lane_flat = jnp.where((live.reshape(E) != I0)
+                          | (emitted.reshape(E) != I0),
+                          lane2d.reshape(E), np.int32(NL))
+    keep = lane_flat != np.int32(NL)
+    order = jnp.argsort(jnp.where(keep, I0, I1), stable=True)[:newE]
+    n_keep = jnp.sum(keep, dtype=jnp.int32)
+    overflow = n_keep > np.int32(newE)
+
+    def take2(x):
+        return x.reshape(E)[order].reshape(S, W2)
+
+    ik0, ik1, ik2 = take2(ik0), take2(ik1), take2(ik2)
+    live2 = take2(jnp.where(keep.reshape(8, W), live, I0))
+    i_e, info, minv_e = take2(i_e), take2(info), take2(minv_e)
+    emitted2 = take2(emitted)
+    em_start = take2(em_start)
+    lane2 = jnp.where(
+        (live2 != I0) | (emitted2 != I0), take2(lane2d), np.int32(NL))
+    slot2 = lax.broadcasted_iota(jnp.int32, (S, W2), 0) * np.int32(W2) \
+        + lax.broadcasted_iota(jnp.int32, (S, W2), 1)
+    fp2 = jnp.full_like(fp, np.int32(newE)).at[
+        jnp.where(live2 != I0, lane2, np.int32(NL))].min(slot2, mode="drop")
+    st2 = (ik0, ik1, ik2, live2, i_e, info, lane2, minv_e, fp2, last_start,
+           emitted2, em_start)
+    return st2, overflow
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def pack_emitted8(st, E: int):
+    """Emitted entries to the front: (E, 6) int32 rows
+    (ik0, ik1, ik2, start, info_end, lane) + count."""
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fp, last_start,
+     emitted, em_start) = st
+    em = emitted.reshape(E)
+    order = jnp.argsort(I1 - em, stable=True)
+    n = jnp.sum(em, dtype=jnp.int32)
+    cols = jnp.stack([ik0.reshape(E), ik1.reshape(E), ik2.reshape(E),
+                      em_start.reshape(E), info.reshape(E),
+                      lane2d.reshape(E)], axis=1)
+    return cols[order], n
+
+
+def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np):
+    """Driver matching seeding_flat.run_backward_flat's contract, except
+    x[1] of the returned mems is the un-extended forward value (see module
+    docstring, fact 3). Returns (per-lane mem lists, overflow (NL,) bool)
+    — overflow True for ALL lanes when a static shrink didn't fit (the
+    caller redoes the group on the exact engine)."""
+    tables = fm.occ16_tables()
+    NL, L = int(qrows_dev.shape[0]), int(qrows_dev.shape[1])
+    ik_d, info_d, lane_d, live_d = entry_dev
+    E = int(ik_d.shape[0])
+    S = 8
+    assert E % S == 0
+    W = E // S
+
+    l2p = jnp.asarray(np.concatenate(
+        [np.asarray(fm.L2)[:4].astype(np.int64),
+         [fm.primary, 0, 0, 0]]).astype(np.int32))
+    qflat = qrows_dev.reshape(-1).astype(jnp.int32)
+    lane_flat = lane_d.astype(jnp.int32)
+    live_flat = live_d.astype(jnp.int32)
+    lane_masked = jnp.where(live_flat != I0, lane_flat, np.int32(NL))
+    lane2d = lane_masked.reshape(S, W)
+    lane_c2d = jnp.clip(lane_flat, 0, NL - 1).reshape(S, W)
+    x0_d = jnp.asarray(x0_np.astype(np.int32))
+    minv_d = jnp.asarray(minv_np.astype(np.int32))
+    slot = (jnp.arange(E, dtype=jnp.int32)).reshape(S, W)
+    fp0 = jnp.full((NL,), np.int32(E), jnp.int32).at[
+        jnp.where(live_flat.reshape(S, W) != I0, lane2d, np.int32(NL))
+    ].min(slot, mode="drop")
+    st = (
+        ik_d[:, 0].astype(jnp.int32).reshape(S, W),
+        ik_d[:, 1].astype(jnp.int32).reshape(S, W),
+        ik_d[:, 2].astype(jnp.int32).reshape(S, W),
+        live_flat.reshape(S, W),
+        (x0_d[lane_c2d.reshape(E)].reshape(S, W) - 1),
+        info_d.astype(jnp.int32).reshape(S, W),
+        lane2d,
+        minv_d[lane_c2d.reshape(E)].reshape(S, W),
+        fp0,
+        jnp.full((NL,), BIG, jnp.int32),
+        jnp.zeros((S, W), jnp.int32),
+        jnp.zeros((S, W), jnp.int32),
+    )
+
+    ov_flags = []
+    cap = E
+    while cap > MIN_CAP:
+        st = segment8(tables, l2p, qflat, st, L, NL, SEG_ROUNDS)
+        newE = cap // 2
+        st, ov = shrink8(st, newE, NL)
+        ov_flags.append(ov)
+        cap = newE
+    st = tail8(tables, l2p, qflat, st, L, NL)
+    cols, n_d = pack_emitted8(st, cap)
+
+    overflow = np.zeros(n_lanes, bool)
+    if ov_flags and bool(np.any(np.asarray(jnp.stack(ov_flags)))):
+        overflow[:] = True  # rare: redo the whole group exactly
+        return [[] for _ in range(n_lanes)], overflow
+    n = int(n_d)
+    out_mems = [[] for _ in range(n_lanes)]
+    if n:
+        rows = np.asarray(cols[:n])
+        for j in range(n):
+            ln = int(rows[j, 5])
+            if 0 <= ln < n_lanes:
+                out_mems[ln].append(
+                    (int(rows[j, 0]), int(rows[j, 1]), int(rows[j, 2]),
+                     (int(rows[j, 3]) << 32) | int(rows[j, 4])))
+    return out_mems, overflow

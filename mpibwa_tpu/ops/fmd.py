@@ -61,6 +61,17 @@ class DeviceFMIndex:
         self.pac = put(np.asarray(idx.pac))
         self.l_pac = int(idx.l_pac)
         self.sa_lookup_jit = lambda ks: _sa_lookup_jit(self, ks)
+        self._host_bwt = idx.bwt  # for derived device layouts (OCC16)
+
+    def occ16_tables(self):
+        """Cached OCC16 split tables for the v8 backward engine
+        (ops/backward8.py): occ every 16 bases + one packed word, as two
+        1-D device tables. Derived (output-invariant) layout."""
+        if getattr(self, "_occ16", None) is None:
+            from mpibwa_tpu.ops.backward8 import build_occ16
+
+            self._occ16 = build_occ16(self._host_bwt)
+        return self._occ16
 
     def fused_blocks(self) -> jnp.ndarray:
         """(n_blocks, 12) int32 fused occ+data rows: one gather serves both

@@ -56,9 +56,13 @@ class DeviceSeeder:
 
         mode = os.environ.get("MPIBWA_BWD", "auto")
         if mode == "auto":
-            # fused Pallas round kernel measured 0.89x vs the XLA flat
-            # queue on TPU (r2 probe) — keep flat until the kernel wins
-            mode = "flat"
+            # v8 (ops/backward8.py) is the fast path for int32 indexes;
+            # larger genomes keep the exact flat engine
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            mode = "v8" if (self.dfm.idt == _jnp.int32
+                            and _jax.default_backend() != "cpu") else "flat"
 
         def build_tables(sub, NLp, pad2):
             lrow = np.zeros(NLp, np.int32)
@@ -114,6 +118,33 @@ class DeviceSeeder:
                 g0 = g1
             return mems
 
+        if mode == "v8":
+            from mpibwa_tpu.ops import backward8 as B8
+
+            def pad2(n):
+                c = 1024
+                while c < n:
+                    c <<= 1
+                return c
+
+            NLp = max(16, 1 << (N - 1).bit_length())
+            lane_row, lane_tbl, x0, minv, E = build_tables(call_list, NLp,
+                                                           pad2)
+            ik, info, lane, live = SF.assemble_entries(
+                ivals_dev, infos_dev, jnp.asarray(lane_row),
+                jnp.asarray(lane_tbl), E)
+            qrows_dev = qd[jnp.asarray(lane_row)]
+            mems, overflow = B8.run_backward8(
+                self.dfm, qrows_dev, (ik, info, lane, live), NLp, x0, minv)
+            if overflow.any():
+                # static shrink didn't fit (rare): redo exactly
+                mems, overflow = SF.run_backward_flat(
+                    self.dfm, qrows_dev, (ik, info, lane, live), NLp, x0,
+                    minv)
+                for ln in np.nonzero(overflow[:N])[0]:
+                    mark(call_list[ln][0])
+            return mems[:N]
+
         def pad4(n):
             c = 256
             while c < n:
@@ -142,15 +173,9 @@ class DeviceSeeder:
             ivals_dev, infos_dev, jnp.asarray(lane_row),
             jnp.asarray(lane_tbl), E)
         qrows_dev = qd[jnp.asarray(lane_row)]
-        if mode == "free":
-            from mpibwa_tpu.ops import seeding_free as SFREE
-
-            mems, overflow = SFREE.run_backward_free(
-                self.dfm, qrows_dev, (ik, info, lane, live), NLp, x0, minv)
-        else:
-            mems, overflow = SF.run_backward_flat(self.dfm, qrows_dev,
-                                                  (ik, info, lane, live),
-                                                  NLp, x0, minv)
+        mems, overflow = SF.run_backward_flat(self.dfm, qrows_dev,
+                                              (ik, info, lane, live),
+                                              NLp, x0, minv)
         for ln in np.nonzero(overflow[:N])[0]:
             mark(call_list[ln][0])
         return mems[:N]

@@ -75,10 +75,13 @@ def test_device_collect_intv(dfm, fm, index):
     assert n_checked >= 40  # nearly all reads must take the device path
 
 
-@pytest.mark.parametrize("mode", ["contig", "pallas_interp"])
+@pytest.mark.parametrize("mode", ["contig", "pallas_interp", "v8"])
 def test_backward_engines_match_scalar(dfm, fm, mode, monkeypatch):
-    """Every backward-SMEM engine (XLA contig, fused Pallas round kernel)
-    must reproduce the scalar bwt_smem1a emission exactly (bwt.c:289-351)."""
+    """Every backward-SMEM engine (XLA contig, fused Pallas round kernel,
+    v8 minimal-gather) must reproduce the scalar bwt_smem1a emission
+    exactly (bwt.c:289-351). v8 does not maintain x[1] (consumed by
+    nothing downstream — see ops/backward8.py) so it is compared on
+    (x0, x2, info)."""
     from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
 
     monkeypatch.setenv("MPIBWA_BWD", mode)
@@ -86,14 +89,41 @@ def test_backward_engines_match_scalar(dfm, fm, mode, monkeypatch):
     seeder = DeviceSeeder(dfm, opt)
     reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=32)
     got, fallback = seeder.collect_batch([s.seq for s in reads])
+
+    def key(ivs):
+        if mode == "v8":
+            return [(iv[0], iv[2], iv[3]) for iv in ivs]
+        return ivs
+
     n_checked = 0
     for i, s in enumerate(reads):
         if got[i] is None:
             continue
         want = collect_intv(opt, fm, s.seq)
-        assert got[i] == want, f"{mode} collect mismatch for {s.name}"
+        assert key(got[i]) == key(want), f"{mode} mismatch for {s.name}"
         n_checked += 1
     assert n_checked >= 28
+
+
+def test_v8_shrink_schedule_exact(dfm, fm, monkeypatch):
+    """The v8 static shrink schedule (compact + halve, overflow flags) must
+    not change results; force it to run by shrinking the tail threshold."""
+    from mpibwa_tpu.ops import backward8 as B8
+    from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
+
+    monkeypatch.setenv("MPIBWA_BWD", "v8")
+    monkeypatch.setattr(B8, "MIN_CAP", 256)
+    monkeypatch.setattr(B8, "SEG_ROUNDS", 2)
+    opt = mem_opt_init()
+    seeder = DeviceSeeder(dfm, opt)
+    reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=24)
+    got, _ = seeder.collect_batch([s.seq for s in reads])
+    for i, s in enumerate(reads):
+        if got[i] is None:
+            continue
+        want = collect_intv(opt, fm, s.seq)
+        assert [(iv[0], iv[2], iv[3]) for iv in got[i]] == \
+            [(iv[0], iv[2], iv[3]) for iv in want], s.name
 
 
 def test_microbatch_boundary_identity(dfm, index, golden_dir):

@@ -62,3 +62,30 @@ def test_build_small_synthetic(tmp_path):
         # one of the occurrences must resolve to `start`
         poss = {fm.sa_lookup(ik[0] + i) for i in range(ik[2])}
         assert start in poss
+
+
+def test_sais_matches_prefix_doubling():
+    """Native SA-IS (native/sais.c) vs the numpy prefix-doubling SA on
+    random and adversarial strings (runs, periodic, tiny)."""
+    import numpy as np
+
+    from mpibwa_tpu.index.build import suffix_array
+    from mpibwa_tpu.native import sais_u8
+
+    rng = np.random.default_rng(7)
+    cases = [rng.integers(0, int(K), int(n)).astype(np.uint8)
+             for n, K in zip(rng.integers(1, 3000, 12),
+                             rng.integers(2, 5, 12))]
+    cases += [np.zeros(257, np.uint8),
+              np.tile([0, 1], 500).astype(np.uint8),
+              np.tile([3, 2, 1, 0], 250).astype(np.uint8),
+              np.array([1], np.uint8),
+              np.array([2, 0], np.uint8)]
+    for s in cases:
+        got = sais_u8(s)
+        if got is None:
+            import pytest
+
+            pytest.skip("native lib unavailable")
+        want = suffix_array(s)
+        assert np.array_equal(got.astype(np.int64), want), len(s)
