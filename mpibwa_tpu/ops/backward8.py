@@ -61,7 +61,7 @@ BIG = np.int32(1 << 30)  # last_start "no mem yet" sentinel
 I0 = np.int32(0)
 I1 = np.int32(1)
 
-SEG_ROUNDS = 4       # rounds per full-capacity segment before a shrink
+SEG_ROUNDS = 4       # rounds per segment between shrinks (first seg: 5)
 MIN_CAP = 32768      # switch to the single while_loop tail at this capacity
 
 
@@ -219,47 +219,56 @@ def tail8(tables, l2p, qflat, st, L: int, NL: int):
     return st
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
-def shrink8(st, newE: int, NL: int):
-    """Device compaction to a smaller capacity. Stable order keeps lanes
-    contiguous/ascending; overflow flag = live entries didn't fit."""
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def shrink8(st, acc, acc_off, newE: int, NL: int):
+    """Device compaction to a smaller capacity: LIVE entries move to the
+    front of the new working set; EMITTED entries are evacuated into the
+    (MAXM, 6) accumulator at acc_off (they never rejoin the rounds, so the
+    working set tracks only live work and the halving schedule holds).
+    Overflow flag = live didn't fit or the accumulator is full."""
     (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fp, last_start,
      emitted, em_start) = st
     S = 8
     W = ik0.shape[1]
     E = S * W
     W2 = newE // S
-    lane_flat = jnp.where((live.reshape(E) != I0)
-                          | (emitted.reshape(E) != I0),
-                          lane2d.reshape(E), np.int32(NL))
-    keep = lane_flat != np.int32(NL)
-    order = jnp.argsort(jnp.where(keep, I0, I1), stable=True)[:newE]
-    n_keep = jnp.sum(keep, dtype=jnp.int32)
-    overflow = n_keep > np.int32(newE)
+    liveb = live.reshape(E) != I0
+    order = jnp.argsort(jnp.where(liveb, I0, I1), stable=True)[:newE]
+    n_live = jnp.sum(liveb, dtype=jnp.int32)
+    # evacuate emitted rows (chronological == slot order per lane)
+    em = emitted.reshape(E) != I0
+    order_em = jnp.argsort(jnp.where(em, I0, I1), stable=True)
+    n_em = jnp.sum(em, dtype=jnp.int32)
+    rows = jnp.stack([ik0.reshape(E), ik1.reshape(E), ik2.reshape(E),
+                      em_start.reshape(E), info.reshape(E),
+                      lane2d.reshape(E)], axis=1)[order_em]
+    MAXM = acc.shape[0]
+    dest = jnp.arange(E, dtype=jnp.int32)
+    dest = jnp.where(dest < n_em, dest + acc_off, np.int32(MAXM))
+    acc = acc.at[dest].set(rows, mode="drop")
+    new_off = acc_off + n_em
+    overflow = (n_live > np.int32(newE)) | (new_off > np.int32(MAXM))
 
     def take2(x):
         return x.reshape(E)[order].reshape(S, W2)
 
     ik0, ik1, ik2 = take2(ik0), take2(ik1), take2(ik2)
-    live2 = take2(jnp.where(keep.reshape(8, W), live, I0))
+    live2 = take2(live)
     i_e, info, minv_e = take2(i_e), take2(info), take2(minv_e)
-    emitted2 = take2(emitted)
-    em_start = take2(em_start)
-    lane2 = jnp.where(
-        (live2 != I0) | (emitted2 != I0), take2(lane2d), np.int32(NL))
+    lane2 = jnp.where(live2 != I0, take2(lane2d), np.int32(NL))
     slot2 = lax.broadcasted_iota(jnp.int32, (S, W2), 0) * np.int32(W2) \
         + lax.broadcasted_iota(jnp.int32, (S, W2), 1)
     fp2 = jnp.full_like(fp, np.int32(newE)).at[
         jnp.where(live2 != I0, lane2, np.int32(NL))].min(slot2, mode="drop")
     st2 = (ik0, ik1, ik2, live2, i_e, info, lane2, minv_e, fp2, last_start,
-           emitted2, em_start)
-    return st2, overflow
+           jnp.zeros((S, W2), jnp.int32), jnp.zeros((S, W2), jnp.int32))
+    return st2, acc, new_off, overflow
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
 def pack_emitted8(st, E: int):
-    """Emitted entries to the front: (E, 6) int32 rows
-    (ik0, ik1, ik2, start, info_end, lane) + count."""
+    """Append the tail's in-slot emissions to the accumulator contract:
+    (E, 6) int32 rows (ik0, ik1, ik2, start, info_end, lane) + count."""
     (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fp, last_start,
      emitted, em_start) = st
     em = emitted.reshape(E)
@@ -315,26 +324,50 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np):
         jnp.zeros((S, W), jnp.int32),
     )
 
+    import os as _os
+
+    dbg = _os.environ.get("MPIBWA_BWD_DEBUG") == "1"
+    MAXM = max(4096, E)
+    acc = jnp.zeros((MAXM, 6), jnp.int32)
+    acc_off = jnp.int32(0)
     ov_flags = []
     cap = E
+    seg = 0
     while cap > MIN_CAP:
-        st = segment8(tables, l2p, qflat, st, L, NL, SEG_ROUNDS)
-        newE = cap // 2
-        st, ov = shrink8(st, newE, NL)
+        rounds = SEG_ROUNDS + 1 if seg == 0 else SEG_ROUNDS
+        st = segment8(tables, l2p, qflat, st, L, NL, rounds)
+        # the first shrink is the tight one (live decays ~50% in 5 rounds):
+        # drop to 3/4 there, halve afterwards
+        newE = (cap * 3 // 4) if seg == 0 else cap // 2
+        newE = max(MIN_CAP, (newE // 8) * 8)
+        st, acc, acc_off, ov = shrink8(st, acc, acc_off, newE, NL)
         ov_flags.append(ov)
+        if dbg:
+            import sys as _sys
+
+            print(f"  v8 seg{seg}: cap {cap}->{newE} live="
+                  f"{int(jnp.sum(st[3]))} acc={int(acc_off)} "
+                  f"ov={bool(ov)}", file=_sys.stderr, flush=True)
         cap = newE
+        seg += 1
     st = tail8(tables, l2p, qflat, st, L, NL)
-    cols, n_d = pack_emitted8(st, cap)
+    cols, n_tail = pack_emitted8(st, cap)
 
     overflow = np.zeros(n_lanes, bool)
     if ov_flags and bool(np.any(np.asarray(jnp.stack(ov_flags)))):
         overflow[:] = True  # rare: redo the whole group exactly
         return [[] for _ in range(n_lanes)], overflow
-    n = int(n_d)
+    n_acc = int(acc_off)
+    n_t = int(n_tail)
     out_mems = [[] for _ in range(n_lanes)]
-    if n:
-        rows = np.asarray(cols[:n])
-        for j in range(n):
+    parts = []
+    if n_acc:
+        parts.append(np.asarray(acc[:n_acc]))
+    if n_t:
+        parts.append(np.asarray(cols[:n_t]))
+    if parts:
+        rows = np.concatenate(parts, axis=0)
+        for j in range(len(rows)):
             ln = int(rows[j, 5])
             if 0 <= ln < n_lanes:
                 out_mems[ln].append(

@@ -36,12 +36,16 @@ class GlobalOut(NamedTuple):
     z: jnp.ndarray  # (B, T, Q) uint8 direction matrix
 
 
-@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(6, 7, 8, 9, 10))
 def global_batch(qs: jnp.ndarray, ts: jnp.ndarray, qlens: jnp.ndarray,
                  tlens: jnp.ndarray, ws: jnp.ndarray, mat: jnp.ndarray,
-                 o_del: int, e_del: int, o_ins: int, e_ins: int) -> GlobalOut:
+                 o_del: int, e_del: int, o_ins: int, e_ins: int,
+                 ab=None) -> GlobalOut:
     """qs: (B, Q) uint8; ts: (B, T) uint8; ws: (B,) int32 bands;
-    mat: (5,5) int32 scoring matrix."""
+    mat: (5,5) int32 scoring matrix. ab: optional static (a, b) for the
+    standard bwa_fill_scmat matrix — replaces the per-row mat[tb, qs]
+    gather (the dominant per-round cost on this hardware) with fused
+    elementwise selects."""
     B, Q = qs.shape
     T = ts.shape[1]
     oe_del, oe_ins = o_del + e_del, o_ins + e_ins
@@ -67,7 +71,14 @@ def global_batch(qs: jnp.ndarray, ts: jnp.ndarray, qlens: jnp.ndarray,
         beg = jnp.maximum(i - ws, 0)
         end = jnp.minimum(i + ws + 1, qlens)
         tb = ts[rows, jnp.minimum(i, T - 1)].astype(jnp.int32)
-        srow = mat[tb[:, None], qs.astype(jnp.int32)]  # (B, Q)
+        if ab is not None:
+            qs32 = qs.astype(jnp.int32)
+            srow = jnp.where((tb[:, None] < 4) & (qs32 < 4),
+                             jnp.where(tb[:, None] == qs32,
+                                       jnp.int32(ab[0]), jnp.int32(-ab[1])),
+                             jnp.int32(-1))
+        else:
+            srow = mat[tb[:, None], qs.astype(jnp.int32)]  # (B, Q)
         live = (jidx[None, :] >= beg[:, None]) & (jidx[None, :] < end[:, None])
         h1_first = jnp.where(beg == 0, -(o_del + e_del * (i + 1)),
                              MINUS_INF)
@@ -181,8 +192,17 @@ def traceback_batch(z: jnp.ndarray, qlens: jnp.ndarray, tlens: jnp.ndarray,
 def cigar_from_ops(ops_row: np.ndarray, i_rem: int, k_rem: int
                    ) -> List[Tuple[int, int]]:
     """Host run-length encoding of a device traceback row; replicates the
-    push/merge + tail pushes + reversal of `traceback`."""
+    push/merge + tail pushes + reversal of `traceback` (vectorized: the
+    per-element python loop was ~40% of the cigar stage)."""
+    n = int(np.argmax(ops_row == 255)) if (ops_row == 255).any() \
+        else len(ops_row)
     cigar: List[List[int]] = []
+    if n:
+        row = ops_row[:n].astype(np.int64)
+        brk = np.nonzero(np.diff(row))[0]
+        starts = np.concatenate([[0], brk + 1])
+        ends = np.concatenate([brk + 1, [n]])
+        cigar = [[int(row[s]), int(e - s)] for s, e in zip(starts, ends)]
 
     def push(op, ln):
         if cigar and cigar[-1][0] == op:
@@ -190,10 +210,6 @@ def cigar_from_ops(ops_row: np.ndarray, i_rem: int, k_rem: int
         else:
             cigar.append([op, ln])
 
-    for op in ops_row:
-        if op == 255:
-            break
-        push(int(op), 1)
     if i_rem >= 0:
         push(2, i_rem + 1)
     if k_rem >= 0:
@@ -202,11 +218,11 @@ def cigar_from_ops(ops_row: np.ndarray, i_rem: int, k_rem: int
     return [(ln, op) for op, ln in cigar]
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9))
+@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9, 10))
 def global_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
                        T: int, ws: jnp.ndarray, o_del: int, e_del: int,
-                       o_ins: int, e_ins: int, mat: jnp.ndarray = None
-                       ) -> GlobalOut:
+                       o_ins: int, e_ins: int, ab=None,
+                       mat: jnp.ndarray = None) -> GlobalOut:
     """Device-side problem construction for the global DP; coords as in
     extend_from_coords: (row, q_off, q_len, q_rev, r_start, t_len) with the
     reverse-strand case walking down from r_start (= re), which reproduces
@@ -230,4 +246,4 @@ def global_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
                    fm.ref_base(jnp.clip(tpos, 0, 2 * fm.l_pac - 1))
                    .astype(jnp.uint8), jnp.uint8(4))
     return global_batch(qs, ts, q_len, t_len, ws, mat,
-                        o_del, e_del, o_ins, e_ins)
+                        o_del, e_del, o_ins, e_ins, ab)

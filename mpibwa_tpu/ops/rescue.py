@@ -43,11 +43,12 @@ def _maxscan_decay(t: jnp.ndarray, decay: int) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9, 10, 11))
+@functools.partial(jax.jit, static_argnums=(3, 4, 6, 7, 8, 9, 10, 11, 14))
 def striped_sw_u8(fm, qd: jnp.ndarray, qcoords: jnp.ndarray, N: int, T: int,
                   tcoords: jnp.ndarray, o_del: int, e_del: int, o_ins: int,
                   e_ins: int, shift: int, qmax: int,
-                  params: jnp.ndarray = None, mat: jnp.ndarray = None) -> SWOut:
+                  params: jnp.ndarray = None, mat: jnp.ndarray = None,
+                  ab=None) -> SWOut:
     """qcoords: (B, 5) int32 (row, start, step, comp, qlen) — query position
     k reads qd[row, start + k*step], complemented (3-x, N stays) if comp.
     tcoords: (B, 3) int32/int64 (t_start, t_step, t_len) over doubled
@@ -93,7 +94,14 @@ def striped_sw_u8(fm, qd: jnp.ndarray, qcoords: jnp.ndarray, N: int, T: int,
         act = ~st["broken"] & (i < tlen)
         tpos = tstart + i * tstep
         tb = fm.ref_base(jnp.clip(tpos, 0, 2 * fm.l_pac - 1))  # (B,)
-        S = mat[tb[:, None], qb]  # (B, N)
+        if ab is not None:
+            # standard matrix: fused selects instead of the (B, N) gather
+            S = jnp.where((tb[:, None] < 4) & (qraw < 4),
+                          jnp.where(tb[:, None] == qraw,
+                                    jnp.int32(ab[0]), jnp.int32(-ab[1])),
+                          jnp.int32(-1))
+        else:
+            S = mat[tb[:, None], qb]  # (B, N)
         S = jnp.where(qvalid & (k < nlen[:, None]), S, 0)  # padding scores 0
         Hd = jnp.concatenate([jnp.zeros((B, 1), jnp.int32), st["H"][:, :-1]],
                              axis=1)
@@ -218,9 +226,12 @@ def ksw_align2_batch(fm, qd, problems, opt, N: int, T: int):
         tc[i] = p["tcoords"]
         pr[i] = (minsc, 0x10000)
     mat = jnp.asarray(m5.astype(np.int32))
+    from mpibwa_tpu.ops.pallas_extend import standard_mat_ab
+
+    ab = standard_mat_ab(opt.mat)
     fwd = striped_sw_u8(fm, qd, jnp.asarray(qc), N, T, jnp.asarray(tc),
                         opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, shift,
-                        qmax, jnp.asarray(pr), mat)
+                        qmax, jnp.asarray(pr), mat, ab)
     score = np.asarray(fwd.score)[:B]
     te = np.asarray(fwd.te)[:B]
     qe = np.asarray(fwd.qe)[:B]
@@ -246,7 +257,7 @@ def ksw_align2_batch(fm, qd, problems, opt, N: int, T: int):
             pr2[j] = (0x10000, score[i])  # KSW_XSTOP | r.score
         rev = striped_sw_u8(fm, qd, jnp.asarray(qc2), N, T, jnp.asarray(tc2),
                             opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, shift,
-                            qmax, jnp.asarray(pr2), mat)
+                            qmax, jnp.asarray(pr2), mat, ab)
         rsc = np.asarray(rev.score)[:B2]
         rte = np.asarray(rev.te)[:B2]
         rqe = np.asarray(rev.qe)[:B2]

@@ -521,9 +521,12 @@ def precompute_cigars(opt, refs, qs_per_read, regs_per_read, dfm=None,
             ws[i] = w
         qlens = cds[:, 2].copy()
         tlens = cds[:, 5].copy()
+        from mpibwa_tpu.ops.pallas_extend import standard_mat_ab
+
         out = global_from_coords(dfm, qd, jnp.asarray(cds), Q, T,
                                  jnp.asarray(ws), opt.o_del, opt.e_del,
-                                 opt.o_ins, opt.e_ins, mat55d)
+                                 opt.o_ins, opt.e_ins,
+                                 standard_mat_ab(opt.mat), mat55d)
         # traceback on device: pull (B, T+Q) op rows, not (B, T, Q) matrices
         ops_d, irem_d, krem_d = traceback_batch(out.z, jnp.asarray(qlens),
                                                 jnp.asarray(tlens),
