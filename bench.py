@@ -104,7 +104,7 @@ def main():
     dfm = DeviceFMIndex(idx)
     golden_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "tests", "golden")
-    batch = int(os.environ.get("BENCH_BATCH", "2048"))
+    batch = int(os.environ.get("BENCH_BATCH", "4096"))
     workers = int(os.environ.get("BENCH_WORKERS", "3"))
     passes = int(os.environ.get("BENCH_PASSES", "2"))
     only = os.environ.get("BENCH_ONLY", "")  # "se"|"pe" to skip the rest

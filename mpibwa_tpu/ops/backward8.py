@@ -280,12 +280,32 @@ def pack_emitted8(st, E: int):
     return cols[order], n
 
 
-def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np):
+@functools.partial(jax.jit, static_argnums=(3,))
+def _merge_filter(acc, acc_off, tail_cols, n_tail_cap: int, n_tail,
+                  min_len):
+    """Concatenate accumulator + tail emissions and keep only mems of
+    length >= min_len (the host drops shorter ones immediately —
+    device_seed.py pass filters — so they need not cross the link).
+    Order within a lane is preserved. Returns (rows, count)."""
+    allr = jnp.concatenate([acc, tail_cols[:n_tail_cap]], axis=0)
+    N = allr.shape[0]
+    idx = jnp.arange(N, dtype=jnp.int32)
+    MAXM = acc.shape[0]
+    valid = (idx < acc_off) | ((idx >= np.int32(MAXM))
+                               & (idx < np.int32(MAXM) + n_tail))
+    keep = valid & ((allr[:, 4] - allr[:, 3]) >= min_len)
+    order = jnp.argsort(jnp.where(keep, I0, I1), stable=True)
+    return allr[order], jnp.sum(keep, dtype=jnp.int32)
+
+
+def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
+                  min_len=0):
     """Driver matching seeding_flat.run_backward_flat's contract, except
     x[1] of the returned mems is the un-extended forward value (see module
-    docstring, fact 3). Returns (per-lane mem lists, overflow (NL,) bool)
-    — overflow True for ALL lanes when a static shrink didn't fit (the
-    caller redoes the group on the exact engine)."""
+    docstring, fact 3) and mems shorter than min_len are dropped on device
+    (callers filter them immediately anyway). Returns (per-lane mem lists,
+    overflow (NL,) bool) — overflow True for ALL lanes when a static
+    shrink didn't fit (the caller redoes the group on the exact engine)."""
     tables = fm.occ16_tables()
     NL, L = int(qrows_dev.shape[0]), int(qrows_dev.shape[1])
     ik_d, info_d, lane_d, live_d = entry_dev
@@ -352,25 +372,23 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np):
         seg += 1
     st = tail8(tables, l2p, qflat, st, L, NL)
     cols, n_tail = pack_emitted8(st, cap)
+    rows_d, n_keep = _merge_filter(acc, acc_off, cols, cap, n_tail,
+                                   jnp.int32(min_len))
 
     overflow = np.zeros(n_lanes, bool)
     if ov_flags and bool(np.any(np.asarray(jnp.stack(ov_flags)))):
         overflow[:] = True  # rare: redo the whole group exactly
         return [[] for _ in range(n_lanes)], overflow
-    n_acc = int(acc_off)
-    n_t = int(n_tail)
+    n = int(n_keep)
     out_mems = [[] for _ in range(n_lanes)]
-    parts = []
-    if n_acc:
-        parts.append(np.asarray(acc[:n_acc]))
-    if n_t:
-        parts.append(np.asarray(cols[:n_t]))
-    if parts:
-        rows = np.concatenate(parts, axis=0)
-        for j in range(len(rows)):
-            ln = int(rows[j, 5])
+    if n:
+        rows = np.asarray(rows_d[:n])
+        lanes = rows[:, 5]
+        infos = (rows[:, 3].astype(np.int64) << 32) | rows[:, 4]
+        for j in range(n):
+            ln = int(lanes[j])
             if 0 <= ln < n_lanes:
                 out_mems[ln].append(
                     (int(rows[j, 0]), int(rows[j, 1]), int(rows[j, 2]),
-                     (int(rows[j, 3]) << 32) | int(rows[j, 4])))
+                     int(infos[j])))
     return out_mems, overflow

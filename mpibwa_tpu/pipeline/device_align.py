@@ -305,7 +305,7 @@ class DeviceAligner:
 
     # -- the public entry ----------------------------------------------------
 
-    MICROBATCH = int(__import__("os").environ.get("MPIBWA_MICROBATCH", "2048"))
+    MICROBATCH = int(__import__("os").environ.get("MPIBWA_MICROBATCH", "8192"))
 
     def align_regs(self, seqs: List[BSeq]) -> List[List[R.AlnReg]]:
         """Compute alignment regions for a batch.
@@ -327,7 +327,12 @@ class DeviceAligner:
         if 0 < len(seqs) < MB and len(seqs) >= 256:
             import numpy as _np
 
-            pad_n = MB - len(seqs)
+            # pad the remainder to the next power-of-2 bucket, not all the
+            # way to MB (a 1.8K tail padded to 16K wastes most of the batch)
+            cap = 256
+            while cap < len(seqs):
+                cap <<= 1
+            pad_n = min(cap, MB) - len(seqs)
             dummy = BSeq(name="__pad__", seq=_np.zeros(8, _np.uint8),
                          qual="IIIIIIII")
             padded = list(seqs) + [dummy] * pad_n

@@ -135,7 +135,8 @@ class DeviceSeeder:
                 jnp.asarray(lane_tbl), E)
             qrows_dev = qd[jnp.asarray(lane_row)]
             mems, overflow = B8.run_backward8(
-                self.dfm, qrows_dev, (ik, info, lane, live), NLp, x0, minv)
+                self.dfm, qrows_dev, (ik, info, lane, live), NLp, x0, minv,
+                min_len=self.opt.min_seed_len)
             if overflow.any():
                 # static shrink didn't fit (rare): redo exactly
                 mems, overflow = SF.run_backward_flat(
