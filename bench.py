@@ -48,25 +48,24 @@ def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden):
         opt.flag |= MEM_F_PE
     als = [DeviceAligner(idx, opt, dfm=dfm) for _ in range(workers)]
     bounds = []
-    if pe:
-        # insert-size stats are batch-scoped (mem_pestat, bwamem.c:1226);
-        # the PE golden corresponds to the whole file as one batch (the
-        # device pipeline microbatches internally)
-        bounds.append((0, len(seqs)))
-    else:
-        off = 0
-        while off < len(seqs):
-            cnt = min(batch, len(seqs) - off)
-            bounds.append((off, cnt))
-            off += cnt
+    off = 0
+    while off < len(seqs):
+        cnt = min(batch, len(seqs) - off)
+        bounds.append((off, cnt))
+        off += cnt
 
     def run_pass():
         # pipelined workers share the chip: host finalization of one batch
-        # overlaps device compute of another (the kt_pipeline analog)
+        # overlaps device compute of another (the kt_pipeline analog).
+        # PE chunks are pestat-scoped exactly like the reference's -K
+        # chunks (mem_pestat per mem_process_seqs batch, bwamem.c:1226,
+        # with n_processed = 0 per untrimmed-PE chunk, mainParallel.c:1314);
+        # the PE golden is oracle output with the same ORACLE_BATCH
         def run_worker(wi):
             for bi in range(wi, len(bounds), workers):
                 o, cnt = bounds[bi]
-                als[wi].process_seqs(seqs[o : o + cnt], n_processed=o)
+                als[wi].process_seqs(seqs[o : o + cnt],
+                                     n_processed=0 if pe else o)
 
         with concurrent.futures.ThreadPoolExecutor(max_workers=workers) as ex:
             for fu in [ex.submit(run_worker, wi) for wi in range(workers)]:
@@ -119,15 +118,18 @@ def main():
             idx, dfm, list(r1), False, workers, batch, passes,
             os.path.join(golden_dir, "se_10k.sam"))
     if only in ("", "pe"):
+        # PE pipelines -K-style chunks of 4096 reads across the workers;
+        # the golden is the oracle's output at ORACLE_BATCH=4096
         pe_rps, identity["pe"] = bench_config(
-            idx, dfm, interleave(r1, r2), True, workers, batch, passes,
-            os.path.join(golden_dir, "pe_10k.sam"))
+            idx, dfm, interleave(r1, r2), True, workers, 4096, passes,
+            os.path.join(golden_dir, "pe_10k_k4096.sam"))
     if only == "" and os.environ.get("BENCH_TRIM", "1") == "1":
-        # trimmed-PE identity gate (variable read lengths; not timed)
+        # trimmed-PE identity gate (variable read lengths; not timed;
+        # whole-file batch like the committed golden)
         t1 = read_fastq(f"{DATA}/HCC1187C_R1_10K_TRIM.fastq")
         t2 = read_fastq(f"{DATA}/HCC1187C_R2_10K_TRIM.fastq")
         _, identity["pe_trim"] = bench_config(
-            idx, dfm, interleave(t1, t2), True, workers, batch, 0,
+            idx, dfm, interleave(t1, t2), True, workers, len(t1) * 2, 0,
             os.path.join(golden_dir, "pe_10k_trim.sam"))
 
     ok = all(identity.values())

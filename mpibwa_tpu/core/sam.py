@@ -18,6 +18,28 @@ INT_MAX = 2**31 - 1
 CIGAR_OPS = "MIDSH"
 CIGAR_OPS_XA = "MIDSHN"
 
+_FWD_LUT = np.frombuffer(b"ACGTN", np.uint8)
+_REV_LUT = np.frombuffer(b"TGCAN", np.uint8)
+
+
+def _seq_str(s, qb: int, qe: int, rev: bool) -> str:
+    """SEQ field text (forward or reverse-complement slice), via cached
+    numpy byte translation — the per-base python join was the hottest part
+    of SAM emission."""
+    cache = getattr(s, "_sam_seq_cache", None)
+    if cache is None:
+        arr = np.minimum(s.seq, 4)
+        cache = (_FWD_LUT[arr].tobytes().decode("ascii"),
+                 _REV_LUT[arr[::-1]].tobytes().decode("ascii"))
+        try:
+            s._sam_seq_cache = cache
+        except AttributeError:
+            pass
+    if not rev:
+        return cache[0][qb:qe]
+    L = len(cache[0])
+    return cache[1][L - qe : L - qb]
+
 
 @dataclasses.dataclass
 class Aln:
@@ -197,11 +219,11 @@ def mem_aln2sam(opt, refs, s, n: int, alns: List[Aln], which: int,
                 if p.cigar[-1][1] in (3, 4):
                     qb += p.cigar[-1][0]
         if not p.is_rev:
-            out.append("".join("ACGTN"[b] for b in s.seq[qb:qe]))
+            out.append(_seq_str(s, qb, qe, False))
             out.append("\t")
             out.append(s.qual[qb:qe] if s.qual else "*")
         else:
-            out.append("".join("TGCAN"[b] for b in s.seq[qb:qe][::-1]))
+            out.append(_seq_str(s, qb, qe, True))
             out.append("\t")
             out.append(s.qual[qb:qe][::-1] if s.qual else "*")
 

@@ -140,11 +140,14 @@ def _occ_c16(occ16, w16, primary, ks, c):
 
 
 def _round8(occ16, w16, l2sel, primary, qflat, Ln, NL, st):
-    """One backward round. State:
+    """One backward round — 5 latency-bound ops total (both occ positions
+    ride ONE gather pair via a (8, 2W) index array; fp and last_start are
+    interleaved in one (2NL,) array so their gather and their scatter-min
+    each merge into one op). State:
     (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e — per-entry (8, W);
-     fp, last_start — per-lane (NL,);
+     fpls — per-lane (2NL,): fpls[2l] = fp slot, fpls[2l+1] = last_start;
      emitted, em_start — per-entry (8, W))."""
-    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fp, last_start,
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fpls,
      emitted, em_start) = st
     S, W = ik0.shape
     slot = lax.broadcasted_iota(jnp.int32, (S, W), 0) * np.int32(W) \
@@ -156,35 +159,50 @@ def _round8(occ16, w16, l2sel, primary, qflat, Ln, NL, st):
     c = jnp.minimum(qi, np.int32(3))
     has_c = valid & (qi < np.int32(4))
 
+    # bwt_occ at k-1 and k-1+s in one gather pair over (8, 2W)
     kq = ik0 - I1
-    tk = _occ_c16(occ16, w16, primary, kq, c)
-    tl = _occ_c16(occ16, w16, primary, kq + ik2, c)
+    ks2 = jnp.concatenate([kq, kq + ik2], axis=1)
+    c2 = jnp.concatenate([c, c], axis=1)
+    t2 = _occ_c16(occ16, w16, primary, ks2, c2)
+    tk = t2[:, :W]
+    tl = t2[:, W:]
     s2 = tl - tk
     k2 = l2sel[c] + I1 + tk
 
     liveb = live != I0
     keeper = liveb & has_c & (s2 >= minv_e)
 
+    # per-lane state in one gather: fp slot + last_start
+    fl = fpls[jnp.concatenate([lane2d << 1, (lane2d << 1) | I1], axis=1)]
+    fp_l = fl[:, :W]
+    last_l = fl[:, W:]
+
     # emission: the lane's first live entry fails and is not contained
-    # (bwt.c:329-337); fp/last_start are (NL,) per-lane state
-    is_first = liveb & (slot == fp[lane2d])
-    emit = is_first & ~keeper & ((i_e + I1) < last_start[lane2d])
+    # (bwt.c:329-337)
+    is_first = liveb & (slot == fp_l)
+    emit = is_first & ~keeper & ((i_e + I1) < last_l)
     new_emitted = emitted | emit.astype(jnp.int32)
     new_em_start = jnp.where(emit, i_e + I1, em_start)
-    last_start = last_start.at[
-        jnp.where(emit, lane2d, np.int32(NL))].min(
-            i_e + I1, mode="drop")
 
-    # keepers advance; fp moves to the smallest keeper slot per lane
-    fp = jnp.full_like(fp, np.int32(S * W)).at[
-        jnp.where(keeper, lane2d, np.int32(NL))].min(slot, mode="drop")
+    # one scatter-min updates both halves: keepers advance fp to their
+    # smallest slot; emitters lower last_start to i+1. fp must RESET to
+    # the sentinel every round (no keepers => lane done), so scatter into
+    # a fresh array and carry last_start over explicitly.
+    fresh = jnp.where(
+        (jnp.arange(fpls.shape[0], dtype=jnp.int32) & I1) != I0,
+        fpls, np.int32(S * W))
+    sidx = jnp.concatenate(
+        [jnp.where(keeper, lane2d << 1, np.int32(2 * NL)),
+         jnp.where(emit, (lane2d << 1) | I1, np.int32(2 * NL))], axis=1)
+    sval = jnp.concatenate([slot, i_e + I1], axis=1)
+    new_fpls = fresh.at[sidx].min(sval, mode="drop")
 
     app = keeper
     return (jnp.where(app, k2, ik0), ik1,
             jnp.where(app, s2, ik2),
             app.astype(jnp.int32),
             jnp.where(app, i_e - I1, i_e),
-            info, lane2d, minv_e, fp, last_start, new_emitted, new_em_start)
+            info, lane2d, minv_e, new_fpls, new_emitted, new_em_start)
 
 
 def _mk_state_args(occ16, w16, l2sel, primary, qflat, Ln, NL):
@@ -226,7 +244,7 @@ def shrink8(st, acc, acc_off, newE: int, NL: int):
     (MAXM, 6) accumulator at acc_off (they never rejoin the rounds, so the
     working set tracks only live work and the halving schedule holds).
     Overflow flag = live didn't fit or the accumulator is full."""
-    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fp, last_start,
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fpls,
      emitted, em_start) = st
     S = 8
     W = ik0.shape[1]
@@ -258,9 +276,14 @@ def shrink8(st, acc, acc_off, newE: int, NL: int):
     lane2 = jnp.where(live2 != I0, take2(lane2d), np.int32(NL))
     slot2 = lax.broadcasted_iota(jnp.int32, (S, W2), 0) * np.int32(W2) \
         + lax.broadcasted_iota(jnp.int32, (S, W2), 1)
-    fp2 = jnp.full_like(fp, np.int32(newE)).at[
-        jnp.where(live2 != I0, lane2, np.int32(NL))].min(slot2, mode="drop")
-    st2 = (ik0, ik1, ik2, live2, i_e, info, lane2, minv_e, fp2, last_start,
+    # rebuild the fp halves (slots changed); keep the last_start halves
+    fpls2 = jnp.where(
+        (jnp.arange(fpls.shape[0], dtype=jnp.int32) & I1) != I0,
+        fpls, np.int32(newE))
+    fpls2 = fpls2.at[
+        jnp.where(live2 != I0, lane2 << 1, np.int32(2 * NL))].min(
+            slot2, mode="drop")
+    st2 = (ik0, ik1, ik2, live2, i_e, info, lane2, minv_e, fpls2,
            jnp.zeros((S, W2), jnp.int32), jnp.zeros((S, W2), jnp.int32))
     return st2, acc, new_off, overflow
 
@@ -269,7 +292,7 @@ def shrink8(st, acc, acc_off, newE: int, NL: int):
 def pack_emitted8(st, E: int):
     """Append the tail's in-slot emissions to the accumulator contract:
     (E, 6) int32 rows (ik0, ik1, ik2, start, info_end, lane) + count."""
-    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fp, last_start,
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fpls,
      emitted, em_start) = st
     em = emitted.reshape(E)
     order = jnp.argsort(I1 - em, stable=True)
@@ -326,9 +349,12 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     x0_d = jnp.asarray(x0_np.astype(np.int32))
     minv_d = jnp.asarray(minv_np.astype(np.int32))
     slot = (jnp.arange(E, dtype=jnp.int32)).reshape(S, W)
-    fp0 = jnp.full((NL,), np.int32(E), jnp.int32).at[
-        jnp.where(live_flat.reshape(S, W) != I0, lane2d, np.int32(NL))
-    ].min(slot, mode="drop")
+    # fpls interleaves per-lane state: [2l] = fp slot, [2l+1] = last_start
+    fpls0 = jnp.where(
+        (jnp.arange(2 * NL, dtype=jnp.int32) & I1) != I0,
+        BIG, np.int32(E)).at[
+        jnp.where(live_flat.reshape(S, W) != I0, lane2d << 1,
+                  np.int32(2 * NL))].min(slot, mode="drop")
     st = (
         ik_d[:, 0].astype(jnp.int32).reshape(S, W),
         ik_d[:, 1].astype(jnp.int32).reshape(S, W),
@@ -338,8 +364,7 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
         info_d.astype(jnp.int32).reshape(S, W),
         lane2d,
         minv_d[lane_c2d.reshape(E)].reshape(S, W),
-        fp0,
-        jnp.full((NL,), BIG, jnp.int32),
+        fpls0,
         jnp.zeros((S, W), jnp.int32),
         jnp.zeros((S, W), jnp.int32),
     )

@@ -60,8 +60,13 @@ class DeviceFMIndex:
         # 2-bit packed forward reference for device-side window construction
         self.pac = put(np.asarray(idx.pac))
         self.l_pac = int(idx.l_pac)
-        self.sa_lookup_jit = lambda ks: _sa_lookup_jit(self, ks)
         self._host_bwt = idx.bwt  # for derived device layouts (OCC16)
+        # int32 indexes: sa_lookup dispatches to the jitted OCC16 walk
+        # itself (the pytree-jitted wrapper would lose the derived tables)
+        if self.idt == jnp.int32:
+            self.sa_lookup_jit = lambda ks: self.sa_lookup(ks)
+        else:
+            self.sa_lookup_jit = lambda ks: _sa_lookup_jit(self, ks)
 
     def occ16_tables(self):
         """Cached OCC16 split tables for the v8 backward engine
@@ -257,7 +262,22 @@ class DeviceFMIndex:
     # -- batched SA lookup (bwt_sa, bwt.c:86-96) -----------------------------
 
     def sa_lookup(self, ks: jnp.ndarray) -> jnp.ndarray:
-        """(N,) idt SA indices -> (N,) idt positions."""
+        """(N,) idt SA indices -> (N,) idt positions.
+
+        int32 indexes route through the OCC16 tables in (8, W) layout —
+        one single-base rank per inv_psi step instead of a full occ4, and
+        2-D-shaped ops throughout (1-D elementwise is ~100x slower on this
+        hardware)."""
+        if self.idt == jnp.int32 and getattr(self, "_host_bwt", None) \
+                is not None:
+            N = int(ks.shape[0])
+            Np = ((N + 7) // 8) * 8
+            ks_p = jnp.zeros(Np, jnp.int32).at[:N].set(ks.astype(jnp.int32))
+            out = _sa_lookup16(
+                self.occ16_tables(), self.L2.astype(jnp.int32),
+                np.int32(self.primary), np.int32(self.seq_len), self.sa,
+                np.int32(self.sa_intv), ks_p.reshape(8, Np // 8))
+            return out.reshape(Np)[:N]
         mask = self.sa_intv - 1
         ks = ks.astype(self.idt)
 
@@ -314,6 +334,49 @@ def _dfm_unflatten(aux, leaves):
 
 
 jax.tree_util.register_pytree_node(DeviceFMIndex, _dfm_flatten, _dfm_unflatten)
+
+
+@jax.jit
+def _sa_lookup16(tables, l2, primary, seq_len, sa, sa_intv, ks2d):
+    """bwt_sa walk (bwt.c:86-96) in (8, W) layout via OCC16: per step one
+    w16 gather for the BWT base + one single-base rank (_occ_c16)."""
+    from mpibwa_tpu.ops.backward8 import _occ_c16
+
+    occ16, w16 = tables
+    mask = sa_intv - jnp.int32(1)  # sa_intv is a power of two
+    I0 = np.int32(0)
+
+    def bwt_b0_16(x):
+        word = jax.lax.bitcast_convert_type(w16[x >> 4], jnp.uint32)
+        sh = (((~x) & np.int32(15)) << 1).astype(jnp.uint32)
+        return ((word >> sh) & jnp.uint32(3)).astype(jnp.int32)
+
+    def inv_psi(k):
+        x = k - (k > primary).astype(jnp.int32)
+        c = bwt_b0_16(x)
+        occc = _occ_c16(occ16, w16, primary, k, c)
+        at_end = k == seq_len
+        occc = jnp.where(at_end, l2[c + 1] - l2[c], occc)
+        val = l2[c] + occc
+        return jnp.where(k == primary, I0, val)
+
+    def cond(state):
+        return jnp.any(state[2])
+
+    def body(state):
+        k, steps, act = state
+        k2 = inv_psi(k)
+        k = jnp.where(act, k2, k)
+        steps = steps + act.astype(jnp.int32)
+        act = (k & mask) != I0
+        return k, steps, act
+
+    ks = ks2d
+    steps0 = jnp.zeros_like(ks)
+    act0 = (ks & mask) != I0
+    k, steps, _ = jax.lax.while_loop(cond, body, (ks, steps0, act0))
+    base = sa[jax.lax.div(k, jnp.int32(sa_intv))]
+    return steps + base  # sa[0] == -1 wraps exactly like the C uint64
 
 
 @jax.jit
