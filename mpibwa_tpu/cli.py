@@ -12,7 +12,9 @@ Usage:
 
 Env knobs: MPIBWA_DEVICES=all|N (intra-host device fan-out),
 MPIBWA_WORKERS=k (pipelined workers per device), MPIBWA_SHARD/MPIBWA_NSHARDS
-(multi-process sharding; pair with `merge`), MPIBWA_MICROBATCH (device batch).
+(multi-process sharding; pair with `merge`), MPIBWA_MICROBATCH (device batch,
+default 8192), MPIBWA_BWD=auto|v8|flat|contig|pallas (backward-SMEM engine;
+auto picks v8 on int32 indexes), MPIBWA_EXT=auto|xla (extension DP kernel).
 
 The mem options replicate mainParallel.c:291-396 (bwa-mem surface + the
 tool flags -o/-f/-b/-g/-K/-z); -z is accepted as a placement hint (index

@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import copy
 import dataclasses
 import math
 from .kbtree import KBTree
@@ -123,7 +124,7 @@ def _test_and_merge(opt, l_pac: int, c: Chain, p: Seed, seed_rid: int) -> bool:
     y = p.rbeg - last.rbeg
     if (y >= 0 and x - y <= opt.w and y - x <= opt.w
             and x - last.len < opt.max_chain_gap and y - last.len < opt.max_chain_gap):
-        c.seeds.append(dataclasses.replace(p))
+        c.seeds.append(copy.copy(p))  # ~10x dataclasses.replace
         return True
     return False
 
