@@ -167,40 +167,6 @@ class DeviceAligner:
         inv[order] = np.arange(B)
         return [tuple(int(v) for v in res[inv[i]]) for i in range(B)]
 
-    def _ext_batch_run(self, probs):
-        """probs: list of (qs, ts, w, eb, zd, h0). Returns list of 6-tuples."""
-        import jax.numpy as jnp
-
-        from mpibwa_tpu.ops.extend_batch import extend_batch
-
-        if not probs:
-            return []
-        opt = self.opt
-        Q = _round_up(max(len(p[0]) for p in probs), self.Q_BUCKETS)
-        T = _round_up(max(len(p[1]) for p in probs), self.T_BUCKETS)
-        B = len(probs)
-        Bp = 1 << max(4, (B - 1).bit_length())
-        qs = np.full((Bp, Q), 4, np.uint8)
-        ts = np.full((Bp, T), 4, np.uint8)
-        qlens = np.ones(Bp, np.int32)
-        tlens = np.zeros(Bp, np.int32)
-        params = np.zeros((Bp, 4), np.int32)
-        params[:, 3] = 1  # dummy h0 must be > 0
-        for i, (q, t, w, eb, zd, h0) in enumerate(probs):
-            if len(q) > Q or len(t) > T:
-                return None  # caller splits / falls back
-            qs[i, : len(q)] = q
-            ts[i, : len(t)] = t
-            qlens[i] = len(q)
-            tlens[i] = len(t)
-            params[i] = (w, eb, zd, h0)
-        out = extend_batch(jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens),
-                           jnp.asarray(tlens), jnp.asarray(params),
-                           jnp.asarray(opt.mat.reshape(5, 5).astype(np.int32)),
-                           opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
-        res = np.stack([np.asarray(x) for x in out], axis=1)
-        return [tuple(int(v) for v in res[i]) for i in range(B)]
-
     def _precompute_extensions(self, chains_per_read, qs_per_read, cache: _ExtCache):
         opt = self.opt
         refs = self.refs
