@@ -105,7 +105,7 @@ def main():
                               "tests", "golden")
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
     workers = int(os.environ.get("BENCH_WORKERS", "3"))
-    passes = int(os.environ.get("BENCH_PASSES", "2"))
+    passes = int(os.environ.get("BENCH_PASSES", "3"))
     only = os.environ.get("BENCH_ONLY", "")  # "se"|"pe" to skip the rest
 
     r1 = read_fastq(f"{DATA}/HCC1187C_R1_10K.fastq")
