@@ -208,6 +208,11 @@ def mem_chain_flt(opt, chains: List[Chain]) -> List[Chain]:
     ks_introsort(a, lambda x, y: x.w > y.w)
     kept_idx = [0]
     a[0].kept = 3
+    # hoisted float32 constants: this nested loop runs ~chains^2 per read
+    # and the _f32 helper was ~1.7M calls per 10K-read batch
+    f32 = np.float32
+    mask32 = f32(opt.mask_level)
+    drop32 = f32(opt.drop_ratio)
     for i in range(1, len(a)):
         large_ovlp = False
         brk = False
@@ -220,12 +225,12 @@ def mem_chain_flt(opt, chains: List[Chain]) -> List[Chain]:
                 lj = a[j].seeds[-1].qbeg + a[j].seeds[-1].len - a[j].seeds[0].qbeg
                 min_l = min(li, lj)
                 # C: `e_min - b_max >= min_l * opt->mask_level` in float32
-                if (_f32(e_min - b_max) >= _f32(_f32(min_l) * _f32(opt.mask_level))
+                if (f32(e_min - b_max) >= f32(min_l) * mask32
                         and min_l < opt.max_chain_gap):
                     large_ovlp = True
                     if a[j].first < 0:
                         a[j].first = i
-                    if (_f32(a[i].w) < _f32(_f32(a[j].w) * _f32(opt.drop_ratio))
+                    if (f32(a[i].w) < f32(a[j].w) * drop32
                             and a[j].w - a[i].w >= opt.min_seed_len << 1):
                         brk = True
                         break

@@ -202,6 +202,17 @@ def striped_sw_u8(fm, qd: jnp.ndarray, qcoords: jnp.ndarray, N: int, T: int,
     return SWOut(score, te, qe, score2, te2)
 
 
+def _pack_sw(o):
+    import jax
+
+    @jax.jit
+    def pack(a, b, c, d):
+        return jnp.stack([a.astype(jnp.int32), b.astype(jnp.int32),
+                          c.astype(jnp.int32), d.astype(jnp.int32)], axis=0)
+
+    return pack(o.score, o.te, o.qe, o.score2)
+
+
 def ksw_align2_batch(fm, qd, problems, opt, N: int, T: int):
     """Full ksw_align2 (forward + reverse pass) for a list of u8 problems.
 
@@ -232,10 +243,11 @@ def ksw_align2_batch(fm, qd, problems, opt, N: int, T: int):
     fwd = striped_sw_u8(fm, qd, jnp.asarray(qc), N, T, jnp.asarray(tc),
                         opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, shift,
                         qmax, jnp.asarray(pr), mat, ab)
-    score = np.asarray(fwd.score)[:B]
-    te = np.asarray(fwd.te)[:B]
-    qe = np.asarray(fwd.qe)[:B]
-    score2 = np.asarray(fwd.score2)[:B]
+    packed = np.asarray(_pack_sw(fwd))  # one device->host pull
+    score = packed[0, :B]
+    te = packed[1, :B]
+    qe = packed[2, :B]
+    score2 = packed[3, :B]
     out = []
     # reverse pass for problems with score >= minsc (the caller discards the
     # rest, and ksw_align2 skips XSTART when XSUBO && score < minsc)
@@ -258,9 +270,10 @@ def ksw_align2_batch(fm, qd, problems, opt, N: int, T: int):
         rev = striped_sw_u8(fm, qd, jnp.asarray(qc2), N, T, jnp.asarray(tc2),
                             opt.o_del, opt.e_del, opt.o_ins, opt.e_ins, shift,
                             qmax, jnp.asarray(pr2), mat, ab)
-        rsc = np.asarray(rev.score)[:B2]
-        rte = np.asarray(rev.te)[:B2]
-        rqe = np.asarray(rev.qe)[:B2]
+        rpk = np.asarray(_pack_sw(rev))  # one pull
+        rsc = rpk[0, :B2]
+        rte = rpk[1, :B2]
+        rqe = rpk[2, :B2]
         for j, i in enumerate(rev_idx):
             rev_res[i] = (rsc[j], rte[j], rqe[j])
     for i in range(B):

@@ -442,6 +442,18 @@ def prep_global_problem(opt, refs, query_full, ar):
     return query, rseq, w, rb >= l_pac
 
 
+def _pack3(a, b, c):
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(a, b, c):
+        return jnp.stack([a.astype(jnp.int64), b.astype(jnp.int64),
+                          c.astype(jnp.int64)], axis=0)
+
+    return pack(a, b, c)
+
+
 def precompute_cigars(opt, refs, qs_per_read, regs_per_read, dfm=None,
                       qd=None, mat55d=None,
                       q_buckets=(64, 128, 192, 256, 512),
@@ -498,14 +510,14 @@ def precompute_cigars(opt, refs, qs_per_read, regs_per_read, dfm=None,
                                  jnp.asarray(ws), opt.o_del, opt.e_del,
                                  opt.o_ins, opt.e_ins,
                                  standard_mat_ab(opt.mat), mat55d)
-        # traceback on device: pull (B, T+Q) op rows, not (B, T, Q) matrices
+        # traceback on device: pull (B, T+Q) op rows, not (B, T, Q)
+        # matrices; the three small outputs ride ONE pull (link latency)
         ops_d, irem_d, krem_d = traceback_batch(out.z, jnp.asarray(qlens),
                                                 jnp.asarray(tlens),
                                                 jnp.asarray(ws))
-        scores = np.asarray(out.score)
+        small = np.asarray(_pack3(out.score, irem_d, krem_d))
+        scores, irem_np, krem_np = small[0], small[1], small[2]
         ops_np = np.asarray(ops_d)
-        irem_np = np.asarray(irem_d)
-        krem_np = np.asarray(krem_d)
         for i, (q, t, w, coords) in enumerate(items):
             if i in skip:
                 continue

@@ -29,6 +29,56 @@ def _pad_batch(qs: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
+def _pack_fwd(fwd):
+    """Pack a forward pass's five host-bound outputs into one int32 array
+    (B, 2 + 3*C): [overflow, n_calls, call_x, call_start, call_len]."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(ov, nc, cx, cs, cl):
+        return jnp.concatenate(
+            [ov.astype(jnp.int32)[:, None], nc.astype(jnp.int32)[:, None],
+             cx.astype(jnp.int32), cs.astype(jnp.int32),
+             cl.astype(jnp.int32)], axis=1)
+
+    return pack(fwd.overflow, fwd.n_calls, fwd.call_x, fwd.call_start,
+                fwd.call_len)
+
+
+def _pack_pass3(p3):
+    """(B, 2 + 4*S) int64 = [overflow, n_seeds, seeds.flat, infos]."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(ov, n, seeds, infos):
+        B, S = infos.shape
+        return jnp.concatenate(
+            [ov.astype(jnp.int64)[:, None], n.astype(jnp.int64)[:, None],
+             seeds.astype(jnp.int64).reshape(B, 3 * S),
+             infos.astype(jnp.int64)], axis=1)
+
+    return pack(p3.overflow, p3.n_seeds, p3.seeds, p3.infos)
+
+
+def _pack_fwd1(fwd):
+    """Single-call variant: (B, 5) int32 = [overflow, n_calls, call_x[0],
+    call_start[0], call_len[0]]."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def pack(ov, nc, cx, cs, cl):
+        return jnp.stack(
+            [ov.astype(jnp.int32), nc.astype(jnp.int32),
+             cx[:, 0].astype(jnp.int32), cs[:, 0].astype(jnp.int32),
+             cl[:, 0].astype(jnp.int32)], axis=1)
+
+    return pack(fwd.overflow, fwd.n_calls, fwd.call_x, fwd.call_start,
+                fwd.call_len)
+
+
 class DeviceSeeder:
     """collect_intv over batches using the device automata."""
 
@@ -206,12 +256,17 @@ class DeviceSeeder:
         # ---- pass 1: chained smem1 calls ----
         min1 = jnp.ones(B, dtype=jnp.int64)
         fwd = seeding.forward_pass(self.dfm, qd, lensd, min1, True)
-        fallback = np.asarray(fwd.overflow).copy()
+        # ONE packed pull: every device->host pull pays full link latency
+        # (~40-100 ms on this tunnel), so the five per-pass outputs ride
+        # one array
+        packed = np.asarray(_pack_fwd(fwd))
+        C = (packed.shape[1] - 2) // 3
+        fallback = packed[:, 0] != 0
+        n_calls = packed[:, 1]
+        call_x = packed[:, 2 : 2 + C]
+        call_start = packed[:, 2 + C : 2 + 2 * C]
+        call_len = packed[:, 2 + 2 * C :]
         t0 = _mark("fwd1", t0)
-        n_calls = np.asarray(fwd.n_calls)
-        call_x = np.asarray(fwd.call_x)
-        call_start = np.asarray(fwd.call_start)
-        call_len = np.asarray(fwd.call_len)
 
         lanes1 = [(b, call_start[b, c], call_len[b, c], call_x[b, c], 1)
                   for b in range(B) for c in range(n_calls[b])]
@@ -254,17 +309,16 @@ class DeviceSeeder:
             fwd2 = seeding.forward_pass(self.dfm, q2d,
                                         jnp.asarray(lens2), jnp.asarray(min2),
                                         False, jnp.asarray(starts2))
-            fwd2.overflow.block_until_ready()
+            p2 = np.asarray(_pack_fwd1(fwd2))  # one pull (call 0 only)
             tt["p2_fwd"] = tt.get("p2_fwd", 0.0) + _time.time() - t2
             t2 = _time.time()
-            for ln in np.nonzero(np.asarray(fwd2.overflow))[0]:
+            for ln in np.nonzero(p2[:, 0])[0]:
                 if ln < len(lanes2):
                     fallback[lanes2[ln][0]] = True
-            f2_ncalls = np.asarray(fwd2.n_calls)
-            # single-call mode uses only call 0: pull one column, not C_CAP
-            f2_start = np.asarray(fwd2.call_start[:, 0])
-            f2_len = np.asarray(fwd2.call_len[:, 0])
-            f2_x = np.asarray(fwd2.call_x[:, 0])
+            f2_ncalls = p2[:, 1]
+            f2_x = p2[:, 2]
+            f2_start = p2[:, 3]
+            f2_len = p2[:, 4]
             lanes2b = []
             lane2_src = []
             for ln in range(len(lanes2)):
@@ -292,11 +346,13 @@ class DeviceSeeder:
         if opt.max_mem_intv > 0:
             p3 = seeding.pass3(self.dfm, qd, lensd, opt.min_seed_len,
                                opt.max_mem_intv)
-            for b in np.nonzero(np.asarray(p3.overflow))[0]:
+            packed3 = np.asarray(_pack_pass3(p3))  # one pull
+            S3 = (packed3.shape[1] - 2) // 4
+            for b in np.nonzero(packed3[:, 0])[0]:
                 fallback[b] = True
-            s3 = np.asarray(p3.seeds)
-            i3 = np.asarray(p3.infos)
-            n3 = np.asarray(p3.n_seeds)
+            n3 = packed3[:, 1]
+            s3 = packed3[:, 2 : 2 + 3 * S3].reshape(B, S3, 3)
+            i3 = packed3[:, 2 + 3 * S3 :]
             for b in range(B):
                 for j in range(n3[b]):
                     pass3_out[b].append((int(s3[b, j, 0]), int(s3[b, j, 1]),
