@@ -132,6 +132,19 @@ def mem_pestat(opt, l_pac: int, regs: List[List[AlnReg]], verbose: bool = False
     return pes
 
 
+class _SWHit:
+    __slots__ = ("score", "te", "qe", "score2", "te2", "tb", "qb")
+
+    def __init__(self, score, te, qe, score2, te2, tb, qb):
+        self.score = score
+        self.te = te
+        self.qe = qe
+        self.score2 = score2
+        self.te2 = te2
+        self.tb = tb
+        self.qb = qb
+
+
 def mem_matesw(opt, refs, pes: List[PEStat], a: AlnReg, l_ms: int,
                ms: np.ndarray, ma: List[AlnReg]) -> int:
     """mem_matesw (bwamem_pair.c:111-180). Mutates ma; returns #SW performed."""
@@ -144,13 +157,16 @@ def mem_matesw(opt, refs, pes: List[PEStat], a: AlnReg, l_ms: int,
     if sum(skip) == 4:
         return 0
     n = 0
+    seq_rev = None  # computed at most once per call
     for r in range(4):
         if skip[r]:
             continue
         is_rev = (r >> 1) != (r & 1)
         is_larger = not (r >> 1)
         if is_rev:
-            seq = np.where(ms < 4, 3 - ms, 4)[::-1].astype(np.uint8)
+            if seq_rev is None:
+                seq_rev = np.where(ms < 4, 3 - ms, 4)[::-1].astype(np.uint8)
+            seq = seq_rev
         else:
             seq = ms
         if not is_rev:
@@ -174,11 +190,7 @@ def mem_matesw(opt, refs, pes: List[PEStat], a: AlnReg, l_ms: int,
             if _sw_cache is not None:
                 hit = _sw_cache.get((seq.tobytes(), ref.tobytes(), xtra))
                 if hit is not None:
-                    from types import SimpleNamespace
-
-                    aln = SimpleNamespace(score=hit[0], te=hit[1], qe=hit[2],
-                                          score2=hit[3], te2=hit[4],
-                                          tb=hit[5], qb=hit[6])
+                    aln = _SWHit(*hit)
             if aln is None:
                 aln = ksw_align2(seq, ref, opt.mat, opt.o_del, opt.e_del,
                                  opt.o_ins, opt.e_ins, xtra)
