@@ -115,18 +115,23 @@ class DeviceSeeder:
                             and _jax.default_backend() != "cpu") else "flat"
 
         def build_tables(sub, NLp, pad2):
+            # one-shot numpy conversion (the per-lane loop was ~0.3s/batch)
+            arr = np.asarray(sub, dtype=np.int64)  # (n, 5)
+            n = arr.shape[0]
             lrow = np.zeros(NLp, np.int32)
             ltbl = np.zeros((NLp, 3), np.int32)
             x0 = np.zeros(NLp, np.int32)
             minv = np.ones(NLp, np.int64)
-            e = 0
-            for ln, (row, s0, ll, x, mi) in enumerate(sub):
-                lrow[ln] = row
-                ltbl[ln] = (s0, ll, e)
-                x0[ln] = x
-                minv[ln] = mi
-                e += ll
-            ltbl[len(sub):, 2] = e  # pad lanes: zero-length at the end
+            lrow[:n] = arr[:, 0]
+            ltbl[:n, 0] = arr[:, 1]
+            ltbl[:n, 1] = arr[:, 2]
+            starts = np.zeros(n, np.int64)
+            np.cumsum(arr[:-1, 2], out=starts[1:]) if n > 1 else None
+            ltbl[:n, 2] = starts
+            x0[:n] = arr[:, 3]
+            minv[:n] = arr[:, 4]
+            e = int(arr[:, 2].sum())
+            ltbl[n:, 2] = e  # pad lanes: zero-length at the end
             E = pad2(e)
             return lrow, ltbl, x0, minv, E
 
@@ -268,8 +273,18 @@ class DeviceSeeder:
         call_len = packed[:, 2 + 2 * C :]
         t0 = _mark("fwd1", t0)
 
-        lanes1 = [(b, call_start[b, c], call_len[b, c], call_x[b, c], 1)
-                  for b in range(B) for c in range(n_calls[b])]
+        # vectorized lane table: (n_lanes, 5) rows
+        # [read, call_start, call_len, call_x, min_intv]
+        ncl = np.minimum(n_calls, call_x.shape[1]).astype(np.int64)
+        b_of = np.repeat(np.arange(B, dtype=np.int64), ncl)
+        lane_base = np.zeros(B, np.int64)
+        np.cumsum(ncl[:-1], out=lane_base[1:])
+        c_of = np.arange(len(b_of), dtype=np.int64) - lane_base[b_of]
+        lanes1 = np.stack(
+            [b_of, call_start[b_of, c_of].astype(np.int64),
+             call_len[b_of, c_of].astype(np.int64),
+             call_x[b_of, c_of].astype(np.int64),
+             np.ones(len(b_of), np.int64)], axis=1)
         t0 = _mark("tables1", t0)
         mems_l1 = self._run_backward_for_calls(qd, lanes1, fwd.ivals,
                                                fwd.infos, fallback)
