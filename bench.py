@@ -8,9 +8,10 @@ Baseline: mpiBWA 1 rank x 1 thread = 40224 reads / 25.84 s = 1556.7 reads/s
 
 Numbers only count if the output is right: each configuration is verified
 byte-identical to the golden (reference engine) SAM, including the
-trimmed-PE variant (mainParallel.c:1520-2556 branch). Throughput is
-best-of-BENCH_PASSES steady passes (run-to-run slack on the shared axon
-chip was measured at ~15%).
+trimmed-PE variant (mainParallel.c:1520-2556 branch). Throughput is the
+MEDIAN of BENCH_PASSES steady passes with the min-max spread reported
+alongside (the shared axon chip drifts 25-35% between windows; medians
+make round-over-round deltas trustworthy).
 """
 
 import json
@@ -37,7 +38,7 @@ def ensure_index():
 
 def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden):
     """Warm + timed passes over one configuration; returns
-    (best reads/s, identity ok)."""
+    (list of per-pass reads/s, identity ok)."""
     import concurrent.futures
 
     from mpibwa_tpu.core.opts import MEM_F_PE, mem_opt_init
@@ -73,17 +74,25 @@ def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden):
 
     run_pass()  # warm: compiles every shape the data produces
     n = sum(c for _, c in bounds)
-    best = 0.0
+    rates = []
     for _ in range(passes):
         t0 = time.time()
         run_pass()
-        best = max(best, n / (time.time() - t0))
+        rates.append(n / (time.time() - t0))
 
     ok = True
     if os.path.exists(golden):
         got = "".join(s.sam for s in seqs)
         ok = got == open(golden).read()
-    return best, ok
+    return rates, ok
+
+
+def _median(xs):
+    if not xs:
+        return 0.0
+    xs = sorted(xs)
+    m = len(xs) >> 1
+    return xs[m] if len(xs) & 1 else 0.5 * (xs[m - 1] + xs[m])
 
 
 def main():
@@ -105,24 +114,25 @@ def main():
                               "tests", "golden")
     batch = int(os.environ.get("BENCH_BATCH", "4096"))
     workers = int(os.environ.get("BENCH_WORKERS", "3"))
-    passes = int(os.environ.get("BENCH_PASSES", "3"))
+    passes = int(os.environ.get("BENCH_PASSES", "5"))
     only = os.environ.get("BENCH_ONLY", "")  # "se"|"pe" to skip the rest
 
     r1 = read_fastq(f"{DATA}/HCC1187C_R1_10K.fastq")
     r2 = read_fastq(f"{DATA}/HCC1187C_R2_10K.fastq")
 
-    se_rps = pe_rps = 0.0
+    se_rates, pe_rates = [], []
     identity = {}
     if only in ("", "se"):
-        se_rps, identity["se"] = bench_config(
+        se_rates, identity["se"] = bench_config(
             idx, dfm, list(r1), False, workers, batch, passes,
             os.path.join(golden_dir, "se_10k.sam"))
     if only in ("", "pe"):
         # PE pipelines -K-style chunks of 4096 reads across the workers;
         # the golden is the oracle's output at ORACLE_BATCH=4096
-        pe_rps, identity["pe"] = bench_config(
+        pe_rates, identity["pe"] = bench_config(
             idx, dfm, interleave(r1, r2), True, workers, 4096, passes,
             os.path.join(golden_dir, "pe_10k_k4096.sam"))
+    se_rps, pe_rps = _median(se_rates), _median(pe_rates)
     if only == "" and os.environ.get("BENCH_TRIM", "1") == "1":
         # trimmed-PE identity gate (variable read lengths; not timed;
         # whole-file batch like the committed golden)
@@ -143,6 +153,12 @@ def main():
         "vs_baseline": round(headline / BASELINE_READS_PER_SEC, 3),
         "se_reads_per_sec": round(se_rps, 1),
         "se_vs_baseline": round(se_rps / BASELINE_READS_PER_SEC, 3),
+        "pe_spread": [round(min(pe_rates), 1), round(max(pe_rates), 1)]
+                     if pe_rates else None,
+        "se_spread": [round(min(se_rates), 1), round(max(se_rates), 1)]
+                     if se_rates else None,
+        "passes": passes,
+        "workers": workers,
         "identity": identity,
     }))
 

@@ -14,7 +14,11 @@ Env knobs: MPIBWA_DEVICES=all|N (intra-host device fan-out),
 MPIBWA_WORKERS=k (pipelined workers per device), MPIBWA_SHARD/MPIBWA_NSHARDS
 (multi-process sharding; pair with `merge`), MPIBWA_MICROBATCH (device batch,
 default 8192), MPIBWA_BWD=auto|v8|flat|contig|pallas (backward-SMEM engine;
-auto picks v8 on int32 indexes), MPIBWA_EXT=auto|xla (extension DP kernel).
+auto picks v8 on int32 indexes; `pallas` is experimental — its compiled
+Mosaic path is only diff-tested in interpret mode), MPIBWA_EXT=auto|xla
+(extension DP kernel), MPIBWA_FINAL=native|python (finalization runtime:
+the C library native/finalize.c vs the exact Python modules; both paths
+are byte-identical and golden-tested).
 
 The mem options replicate mainParallel.c:291-396 (bwa-mem surface + the
 tool flags -o/-f/-b/-g/-K/-z); -z is accepted as a placement hint (index
@@ -126,6 +130,7 @@ def main_mem(argv, by_chr: bool = False):
             seti("zdrop", int(a))
         elif c == "v":
             verbose = int(a)
+            O.bwa_verbose = verbose
         elif c == "j":
             ignore_alt = True
         elif c == "r":
@@ -271,7 +276,11 @@ def main_mem(argv, by_chr: bool = False):
     # with the device mesh)
     devices = None
     dev_env = os.environ.get("MPIBWA_DEVICES", "")
-    workers = int(os.environ.get("MPIBWA_WORKERS", "1"))
+    # -t maps to pipelined workers per device (output-invariant overlap of
+    # host finalization with device compute); MPIBWA_WORKERS overrides.
+    # The reference's -t also sets the default -K, which is preserved above.
+    workers = (int(os.environ.get("MPIBWA_WORKERS", "0"))
+               or min(max(opt.n_threads, 1), 4))
     if use_device and workers > 1 and not dev_env:
         dev_env = "1"
     if use_device and dev_env:
@@ -316,6 +325,7 @@ def main_mem(argv, by_chr: bool = False):
                            "header_len": rt.header_len,
                            "format": write_format,
                            "files": rt.out_files,
+                           "times": rt.times,
                            "manifest": rt.last_manifest}, mf)
         if verbose >= 3:
             print(f"wrote {len(paths)} by-chromosome outputs under "
@@ -330,6 +340,7 @@ def main_mem(argv, by_chr: bool = False):
                 json.dump({"shard": shard, "n_shards": n_shards,
                            "header_len": rt.header_len,
                            "format": write_format,
+                           "times": rt.times,
                            "manifest": rt.last_manifest}, mf)
         if verbose >= 3:
             print(f"output written to {path}", file=sys.stderr)
@@ -387,8 +398,23 @@ def main_merge(argv):
                         [m["manifest"] for m, _ in sidecars_by_shard],
                         out, sidecars_by_shard[0][0]["header_len"],
                         sidecars_by_shard[0][0].get("format", 2))
+    _print_aggregate_times([m for m, _ in sidecars_by_shard])
     print(f"merged {n} shards into {out}", file=sys.stderr)
     return 0
+
+
+def _print_aggregate_times(sidecars):
+    """Aggregate per-shard phase times like the reference's end-of-run
+    Allreduce summary (mainParallel.c:3266-3291): min/avg/max per phase."""
+    times = [m.get("times") for m in sidecars]
+    if not all(isinstance(t, dict) for t in times):
+        return
+    keys = sorted({k for t in times for k in t})
+    for k in keys:
+        vs = [float(t.get(k, 0.0)) for t in times]
+        print(f"[M::merge] {k} time across {len(vs)} shards: "
+              f"min {min(vs):.2f}s avg {sum(vs) / len(vs):.2f}s "
+              f"max {max(vs):.2f}s", file=sys.stderr)
 
 
 def main_merge_bychr(argv):
@@ -428,35 +454,58 @@ def main_merge_bychr(argv):
 def main_launch(argv):
     """One-command distribution (the `mpirun -n N mpiBWA` analog):
 
-      cli launch -n N [--keep] {mem|membychr} [options] -o OUT REF R1 [R2]
+      cli launch -n N [--keep] [--hosts H1,H2|--hostfile F] [--rsh CMD]
+                 {mem|membychr} [options] -o OUT REF R1 [R2]
 
     Spawns N shard processes (MPIBWA_SHARD=i, MPIBWA_NSHARDS=N), waits,
     merges their outputs deterministically, and removes the shard files.
-    Replaces the reference's MPI launcher + RMA ticket loop
-    (mainParallel.c:517-519, 1109-1123) with processes + extent merge."""
+    With --hosts/--hostfile, shards round-robin over the hosts via --rsh
+    (default ssh), like `mpirun -hostfile` (mainParallel.c:517-519); the
+    inputs and OUT path must live on a shared filesystem, exactly as the
+    reference requires for its MPI-IO output. "localhost" entries spawn
+    local process groups (no ssh), which is also how the integration test
+    exercises this path."""
     import os
+    import shlex
     import subprocess
 
     keep = False
     n = None
+    hosts = []
+    rsh = "ssh"
     i = 0
-    while i < len(argv) and argv[i] in ("-n", "--keep"):
+    while i < len(argv) and argv[i] in ("-n", "--keep", "--hosts",
+                                        "--hostfile", "--rsh"):
         if argv[i] == "--keep":
             keep = True
             i += 1
-        else:
-            if i + 1 >= len(argv):
-                break
+            continue
+        if i + 1 >= len(argv):
+            break
+        if argv[i] == "-n":
             n = int(argv[i + 1])
-            i += 2
+        elif argv[i] == "--hosts":
+            hosts = [h for h in argv[i + 1].split(",") if h]
+        elif argv[i] == "--hostfile":
+            with open(argv[i + 1]) as hf:
+                hosts = [ln.split()[0] for ln in hf
+                         if ln.strip() and not ln.startswith("#")]
+        elif argv[i] == "--rsh":
+            rsh = argv[i + 1]
+        i += 2
     rest = argv[i:]
+    if n is None and hosts:
+        n = len(hosts)
     if n is None or n < 1 or not rest or rest[0] not in ("mem", "membychr"):
-        print("usage: launch -n N [--keep] {mem|membychr} [options] "
-              "-o OUT REF R1 [R2]", file=sys.stderr)
+        print("usage: launch -n N [--keep] [--hosts H1,H2|--hostfile F] "
+              "[--rsh CMD] {mem|membychr} [options] -o OUT REF R1 [R2]",
+              file=sys.stderr)
         return 1
     sub, sub_args = rest[0], rest[1:]
+    # -f is main_mem's alias for -o (mainParallel.c getopt surface)
+    out_flag = "-o" if "-o" in sub_args else "-f"
     try:
-        out = sub_args[sub_args.index("-o") + 1]
+        out = sub_args[sub_args.index(out_flag) + 1]
     except (ValueError, IndexError):
         print("[E::launch] -o OUT is required", file=sys.stderr)
         return 1
@@ -476,9 +525,23 @@ def main_launch(argv):
         args = list(sub_args)
         if not by_chr:
             # per-shard output files; merged into OUT afterwards
-            args[args.index("-o") + 1] = f"{out}.shard{k}"
-        procs.append(subprocess.Popen(
-            [sys.executable, "-m", "mpibwa_tpu.cli", sub] + args, env=env))
+            args[args.index(out_flag) + 1] = f"{out}.shard{k}"
+        cmd = [sys.executable, "-m", "mpibwa_tpu.cli", sub] + args
+        host = hosts[k % len(hosts)] if hosts else "localhost"
+        if host in ("localhost", "127.0.0.1"):
+            procs.append(subprocess.Popen(cmd, env=env))
+        else:
+            # remote shard: env rides the command line; MPIBWA_* knobs of
+            # this process propagate (python resolves to the remote PATH)
+            envs = [f"MPIBWA_SHARD={k}", f"MPIBWA_NSHARDS={n}"]
+            envs += [f"{key}={shlex.quote(v)}"
+                     for key, v in os.environ.items()
+                     if key.startswith("MPIBWA_")
+                     and key not in ("MPIBWA_SHARD", "MPIBWA_NSHARDS")]
+            rcmd = (f"cd {shlex.quote(os.getcwd())} && env " + " ".join(envs)
+                    + " python3 -m mpibwa_tpu.cli " + sub + " "
+                    + " ".join(shlex.quote(a) for a in args))
+            procs.append(subprocess.Popen(shlex.split(rsh) + [host, rcmd]))
     rc = 0
     for k, p in enumerate(procs):
         r = p.wait()

@@ -26,6 +26,9 @@ MEM_F_KEEP_SUPP_MAPQ = 0x1000
 
 MEM_MAPQ_COEF = 30.0
 
+# global verbosity (the bwa_verbose global, bwa.c); CLI -v sets it
+bwa_verbose = 3
+
 
 def fill_scmat(a: int, b: int) -> np.ndarray:
     """bwa_fill_scmat (/root/reference/src/bwa.c:109-118): 5x5 scoring matrix."""

@@ -72,9 +72,16 @@ def _cal_sub(opt, r: List[AlnReg]) -> int:
     return opt.min_seed_len * opt.a
 
 
-def mem_pestat(opt, l_pac: int, regs: List[List[AlnReg]], verbose: bool = False
+def mem_pestat(opt, l_pac: int, regs: List[List[AlnReg]], verbose=None
                ) -> List[PEStat]:
-    """mem_pestat (bwamem_pair.c:46-109)."""
+    """mem_pestat (bwamem_pair.c:46-109), incl. the verbose>=3 stderr
+    analytics (percentiles/mean/std per orientation)."""
+    import sys
+
+    from . import opts as _O
+
+    if verbose is None:
+        verbose = _O.bwa_verbose >= 3
     pes = [PEStat() for _ in range(4)]
     isize: List[List[int]] = [[], [], [], []]
     n = len(regs)
@@ -91,20 +98,40 @@ def mem_pestat(opt, l_pac: int, regs: List[List[AlnReg]], verbose: bool = False
         d, dist = mem_infer_dir(l_pac, r0[0].rb, r1[0].rb)
         if dist and dist <= opt.max_ins:
             isize[d].append(dist)
+    if verbose:
+        print("[M::mem_pestat] # candidate unique pairs for (FF, FR, RF, "
+              "RR): (%d, %d, %d, %d)" % tuple(len(x) for x in isize),
+              file=sys.stderr)
+
+    def _dirname(d):
+        return "FR"[(d >> 1) & 1] + "FR"[d & 1]
+
     for d in range(4):
         r = pes[d]
         q = isize[d]
         if len(q) < MIN_DIR_CNT:
             r.failed = 1
+            if verbose:
+                print(f"[M::mem_pestat] skip orientation {_dirname(d)} as "
+                      "there are not enough pairs", file=sys.stderr)
             continue
+        if verbose:
+            print("[M::mem_pestat] analyzing insert size distribution for "
+                  f"orientation {_dirname(d)}...", file=sys.stderr)
         introsort_64(q)
         p25 = q[int(0.25 * len(q) + 0.499)]
         p50 = q[int(0.50 * len(q) + 0.499)]
         p75 = q[int(0.75 * len(q) + 0.499)]
+        if verbose:
+            print("[M::mem_pestat] (25, 50, 75) percentile: "
+                  f"({p25}, {p50}, {p75})", file=sys.stderr)
         r.low = int(p25 - OUTLIER_BOUND * (p75 - p25) + 0.499)
         if r.low < 1:
             r.low = 1
         r.high = int(p75 + OUTLIER_BOUND * (p75 - p25) + 0.499)
+        if verbose:
+            print("[M::mem_pestat] low and high boundaries for computing "
+                  f"mean and std.dev: ({r.low}, {r.high})", file=sys.stderr)
         x = 0
         s = 0.0
         for v in q:
@@ -117,6 +144,9 @@ def mem_pestat(opt, l_pac: int, regs: List[List[AlnReg]], verbose: bool = False
             if r.low <= v <= r.high:
                 s += (v - r.avg) * (v - r.avg)
         r.std = math.sqrt(s / x)
+        if verbose:
+            print(f"[M::mem_pestat] mean and std.dev: ({r.avg:.2f}, "
+                  f"{r.std:.2f})", file=sys.stderr)
         r.low = int(p25 - MAPPING_BOUND * (p75 - p25) + 0.499)
         r.high = int(p75 + MAPPING_BOUND * (p75 - p25) + 0.499)
         if r.low > r.avg - MAX_STDDEV * r.std:
@@ -125,10 +155,16 @@ def mem_pestat(opt, l_pac: int, regs: List[List[AlnReg]], verbose: bool = False
             r.high = int(r.avg + MAX_STDDEV * r.std + 0.499)
         if r.low < 1:
             r.low = 1
+        if verbose:
+            print("[M::mem_pestat] low and high boundaries for proper "
+                  f"pairs: ({r.low}, {r.high})", file=sys.stderr)
     mx = max(len(x) for x in isize)
     for d in range(4):
         if pes[d].failed == 0 and len(isize[d]) < mx * MIN_DIR_RATIO:
             pes[d].failed = 1
+            if verbose:
+                print(f"[M::mem_pestat] skip orientation {_dirname(d)}",
+                      file=sys.stderr)
     return pes
 
 

@@ -18,7 +18,11 @@ class RefSeq:
         self.n_seqs = len(idx.anns)
         from mpibwa_tpu.index.format import unpack_pac
 
-        self.ref = unpack_pac(idx.pac, idx.l_pac)  # forward strand, uint8 0..3
+        # forward strand, uint8 0..3; the .tpumap path hands us a read-only
+        # memmap so co-located shard processes share one physical copy
+        ref_fwd = getattr(idx, "ref_fwd", None)
+        self.ref = (ref_fwd if ref_fwd is not None
+                    else unpack_pac(idx.pac, idx.l_pac))
 
     def depos(self, pos: int) -> Tuple[int, int]:
         """bns_depos: returns (forward_pos, is_rev)."""

@@ -83,6 +83,11 @@ class BwaIndex:
     anns: List[ContigAnn]
     ambs: List[AmbHole]
     pac: np.ndarray  # uint8[ceil(l_pac/4)] 2-bit packed forward ref
+    # unpacked forward reference (uint8[l_pac], one base per byte), present
+    # when loaded from a .tpumap image: memory-mapped read-only, so N
+    # co-located shard processes share ONE physical copy through the page
+    # cache (the map_indexes shared-window analog, parallel_aux.c:1745-1838)
+    ref_fwd: "np.ndarray | None" = None
 
     @property
     def n_sa(self) -> int:
@@ -207,7 +212,9 @@ def save_image(idx: BwaIndex, path: str) -> None:
         "ambs": [dataclasses.asdict(a) for a in idx.ambs],
         "arrays": {},
     }
-    arrays = {"bwt": idx.bwt, "sa": idx.sa, "pac": idx.pac}
+    arrays = {"bwt": idx.bwt, "sa": idx.sa, "pac": idx.pac,
+              "ref": (idx.ref_fwd if idx.ref_fwd is not None
+                      else unpack_pac(idx.pac, idx.l_pac))}
     with open(path, "wb") as f:
         f.write(_MAGIC)
         f.write(b"\x00" * 8)  # placeholder for meta offset
@@ -260,6 +267,7 @@ def load_image(path: str, mmap: bool = True) -> BwaIndex:
         anns=[ContigAnn(**a) for a in meta["anns"]],
         ambs=[AmbHole(**a) for a in meta["ambs"]],
         pac=arrs["pac"],
+        ref_fwd=arrs.get("ref"),  # absent in pre-round-3 images
     )
 
 

@@ -17,7 +17,7 @@ import threading
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "_libmpibwa.so")
-_SOURCES = ["fixmate.c", "sais.c"]
+_SOURCES = ["fixmate.c", "sais.c", "finalize.c"]
 
 _lock = threading.Lock()
 _lib = None
@@ -31,7 +31,7 @@ def _build() -> bool:
             and os.path.getmtime(_LIB_PATH) >= newest):
         return True
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O2", "-fPIC", "-shared", "-o", _LIB_PATH] + srcs
+    cmd = [cc, "-O2", "-fPIC", "-shared", "-o", _LIB_PATH] + srcs + ["-lm"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
@@ -67,6 +67,30 @@ def get_lib():
         lib.mpibwa_sais_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ]
+        # finalization runtime (finalize.c)
+        P = ctypes.c_void_p
+        lib.fin_ctx_new.restype = P
+        lib.fin_ctx_new.argtypes = [P, ctypes.c_int64, ctypes.c_int32,
+                                    P, P, P, P, P, P, P, P, P, P]
+        lib.fin_ctx_free.restype = None
+        lib.fin_ctx_free.argtypes = [P]
+        lib.fin_buf_free.restype = None
+        lib.fin_buf_free.argtypes = [P]
+        lib.fin_batch.restype = ctypes.c_int
+        lib.fin_batch.argtypes = [P, ctypes.c_int, ctypes.c_int64,
+                                  P, P, P, P, P, P, P, P, P, P,
+                                  ctypes.c_int64, ctypes.c_char_p, P, P,
+                                  ctypes.POINTER(P), P]
+        lib.fin_test_global.restype = ctypes.c_int
+        lib.fin_test_global.argtypes = [P, ctypes.c_int, P, ctypes.c_int, P,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int, P, P, P]
+        lib.fin_test_align2.restype = ctypes.c_int
+        lib.fin_test_align2.argtypes = [P, ctypes.c_int, P, ctypes.c_int, P,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int, P]
         _lib = lib
         return _lib
 

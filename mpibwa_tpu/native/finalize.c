@@ -1,0 +1,1894 @@
+/* Native finalization runtime: regions -> SAM text.
+ *
+ * This is the C equivalent of the repo's exact Python finalization layer
+ * (core/region.py, core/sam.py, core/pair.py, core/cigar.py, core/extend.py,
+ * core/sortutil.py), which itself reproduces the semantics of the reference's
+ * bwamem.c:437-558/792-1049, bwamem_pair.c:111-393, bwa.c:120-208 and
+ * ksw.c:111-365/504-606 bit-for-bit (validated by tests/golden). The Python
+ * modules are the spec; every function here mirrors one of them and is
+ * differentially tested against it (tests/test_native_final.py).
+ *
+ * Design: one ctypes call finalizes a whole batch (SE) or pair batch (PE),
+ * with the GIL released, so pipelined aligner workers overlap host
+ * finalization with device compute on real cores instead of contending on
+ * the interpreter lock. The library computes CIGAR/MD/NM and mate-rescue
+ * Smith-Waterman inline (banded global DP + striped-SW emulation), so the
+ * device global/rescue precompute passes become optional.
+ *
+ * No code is taken from the reference; everything is transcribed from this
+ * repo's own Python implementations.
+ */
+
+#include <math.h>
+#include <stdint.h>
+#include <stdio.h>
+#include <stdlib.h>
+#include <string.h>
+
+#define EXPORT __attribute__((visibility("default")))
+
+static _Thread_local int g_oom; /* set on allocation failure; checked per batch */
+
+/* ------------------------------------------------------------------ */
+/* growable string                                                     */
+/* ------------------------------------------------------------------ */
+
+typedef struct { char *s; size_t l, m; } ks_t;
+
+static void ks_grow(ks_t *k, size_t need) {
+    if (k->l + need + 1 > k->m) {
+        size_t m = k->l + need + 1;
+        m += m >> 1;
+        char *p = (char *)realloc(k->s, m);
+        if (!p) { g_oom = 1; return; }
+        k->s = p; k->m = m;
+    }
+}
+
+static void ks_putsn(ks_t *k, const char *s, size_t n) {
+    ks_grow(k, n);
+    if (g_oom) return;
+    memcpy(k->s + k->l, s, n);
+    k->l += n;
+    k->s[k->l] = 0;
+}
+
+static void ks_puts(ks_t *k, const char *s) { ks_putsn(k, s, strlen(s)); }
+
+static void ks_putc(ks_t *k, char c) {
+    ks_grow(k, 1);
+    if (g_oom) return;
+    k->s[k->l++] = c;
+    k->s[k->l] = 0;
+}
+
+static void ks_putll(ks_t *k, long long v) {
+    char b[24];
+    int n = snprintf(b, sizeof b, "%lld", v);
+    ks_putsn(k, b, (size_t)n);
+}
+
+static void ks_free(ks_t *k) { free(k->s); k->s = 0; k->l = k->m = 0; }
+
+/* ------------------------------------------------------------------ */
+/* hash_64 (utils.h Thomas Wang mix; spec: core/sortutil.py)           */
+/* ------------------------------------------------------------------ */
+
+static uint64_t hash_64(uint64_t key) {
+    key = key + ~(key << 32);
+    key ^= key >> 22;
+    key = key + ~(key << 13);
+    key ^= key >> 8;
+    key = key + (key << 3);
+    key ^= key >> 15;
+    key = key + ~(key << 27);
+    key ^= key >> 31;
+    return key;
+}
+
+/* ------------------------------------------------------------------ */
+/* ks_introsort with the exact ksort.h permutation                     */
+/* (spec: core/sortutil.py ks_introsort — same pivoting/thresholds,    */
+/* so compare-equal elements land in the same order)                   */
+/* ------------------------------------------------------------------ */
+
+#define KSORT_INIT(name, T, LT)                                              \
+static void name##_isort(T *a, long lo, long hi) {                          \
+    for (long i = lo + 1; i < hi; ++i) {                                     \
+        long j = i;                                                          \
+        while (j > lo && LT(a[j], a[j - 1])) {                               \
+            T t = a[j]; a[j] = a[j - 1]; a[j - 1] = t; --j;                  \
+        }                                                                    \
+    }                                                                        \
+}                                                                            \
+static void name##_comb(T *a, long lo, long n) {                            \
+    const double shrink = 1.2473309501039786540366528676643;                 \
+    long gap = n; int do_swap = 1;                                           \
+    while (do_swap || gap > 2) {                                             \
+        if (gap > 2) {                                                       \
+            gap = (long)(gap / shrink);                                      \
+            if (gap == 9 || gap == 10) gap = 11;                             \
+        }                                                                    \
+        do_swap = 0;                                                         \
+        for (long i = lo; i < lo + n - gap; ++i) {                           \
+            long j = i + gap;                                                \
+            if (LT(a[j], a[i])) {                                            \
+                T t = a[i]; a[i] = a[j]; a[j] = t; do_swap = 1;              \
+            }                                                                \
+        }                                                                    \
+    }                                                                        \
+    if (gap != 1) name##_isort(a, lo, lo + n);                               \
+}                                                                            \
+static void name##_sort(T *a, long n) {                                     \
+    if (n < 1) return;                                                       \
+    if (n == 2) {                                                            \
+        if (LT(a[1], a[0])) { T t = a[0]; a[0] = a[1]; a[1] = t; }           \
+        return;                                                              \
+    }                                                                        \
+    long d = 2;                                                              \
+    while ((1L << d) < n) ++d;                                               \
+    struct { long s, t, d; } stack[128];                                     \
+    int sp = 0;                                                              \
+    long s = 0, t = n - 1;                                                   \
+    d <<= 1;                                                                 \
+    for (;;) {                                                               \
+        if (s < t) {                                                         \
+            if (--d == 0) { name##_comb(a, s, t - s + 1); t = s; continue; } \
+            long i = s, j = t, k = i + ((j - i) >> 1) + 1;                   \
+            if (LT(a[k], a[i])) { if (LT(a[k], a[j])) k = j; }               \
+            else k = LT(a[j], a[i]) ? i : j;                                 \
+            T rp = a[k];                                                     \
+            if (k != t) { T tt = a[k]; a[k] = a[t]; a[t] = tt; }             \
+            for (;;) {                                                       \
+                ++i; while (LT(a[i], rp)) ++i;                               \
+                --j; while (i <= j && LT(rp, a[j])) --j;                     \
+                if (j <= i) break;                                           \
+                T tt = a[i]; a[i] = a[j]; a[j] = tt;                         \
+            }                                                                \
+            { T tt = a[i]; a[i] = a[t]; a[t] = tt; }                         \
+            if (i - s > t - i) {                                             \
+                if (i - s > 16) { stack[sp].s = s; stack[sp].t = i - 1; stack[sp].d = d; ++sp; } \
+                s = (t - i > 16) ? i + 1 : t;                                \
+            } else {                                                         \
+                if (t - i > 16) { stack[sp].s = i + 1; stack[sp].t = t; stack[sp].d = d; ++sp; } \
+                t = (i - s > 16) ? i - 1 : s;                                \
+            }                                                                \
+        } else {                                                             \
+            if (sp == 0) { name##_isort(a, 0, n); return; }                  \
+            --sp; s = stack[sp].s; t = stack[sp].t; d = stack[sp].d;         \
+        }                                                                    \
+    }                                                                        \
+}
+
+/* ------------------------------------------------------------------ */
+/* data model                                                          */
+/* ------------------------------------------------------------------ */
+
+/* Mirrors core/region.py AlnReg; layout shared with numpy (96 bytes). */
+typedef struct {
+    int64_t rb, re;
+    int32_t qb, qe, rid, score, truesc, sub, alt_sc, csub, sub_n, w,
+            seedcov, secondary, secondary_all, seedlen0, n_comp, is_alt;
+    uint64_t hash;
+    double frac_rep;
+} alnreg_t;
+
+typedef struct { alnreg_t *a; int n, m; } regvec_t;
+
+static void rv_push(regvec_t *v, alnreg_t r) {
+    if (v->n == v->m) {
+        int m = v->m ? v->m << 1 : 8;
+        alnreg_t *p = (alnreg_t *)realloc(v->a, (size_t)m * sizeof(alnreg_t));
+        if (!p) { g_oom = 1; return; }
+        v->a = p; v->m = m;
+    }
+    v->a[v->n++] = r;
+}
+
+static void rv_insert(regvec_t *v, int at, alnreg_t r) {
+    rv_push(v, r);
+    if (g_oom) return;
+    memmove(v->a + at + 1, v->a + at, (size_t)(v->n - 1 - at) * sizeof(alnreg_t));
+    v->a[at] = r;
+}
+
+/* mem_aln_t mirror (core/sam.py Aln). */
+typedef struct {
+    int64_t pos;
+    int rid, flag, is_rev, is_alt, mapq, NM;
+    uint32_t *cigar; /* len<<4 | op, op: 0=M 1=I 2=D 3=S 4=H */
+    int n_cigar;
+    char *md;        /* owned */
+    const char *XA;  /* not owned */
+    int score, sub, alt_sc;
+} aln_t;
+
+static void aln_init(aln_t *a) {
+    memset(a, 0, sizeof *a);
+    a->rid = -1; /* Python default */
+    a->pos = 0;
+    a->score = 0; a->sub = 0; a->alt_sc = 0;
+}
+
+static void aln_destroy(aln_t *a) { free(a->cigar); free(a->md); a->cigar = 0; a->md = 0; }
+
+/* options + index context */
+typedef struct {
+    int a, b, o_del, e_del, o_ins, e_ins, pen_clip5, pen_clip3, pen_unpaired,
+        w, zdrop, T, flag, min_seed_len, max_matesw, max_XA_hits,
+        max_XA_hits_alt, max_chain_gap, mapQ_coef_fac;
+    double mask_level, drop_ratio, XA_drop_ratio, mask_level_redun,
+           mapQ_coef_len;
+    int8_t mat[25];
+    const uint8_t *ref; /* unpacked forward strand, l_pac bases */
+    int64_t l_pac;
+    int n_seqs;
+    const int64_t *ann_off;
+    const int64_t *ann_len;
+    const uint8_t *ann_is_alt;
+    const char *names;       /* concatenated NUL-terminated names */
+    const int64_t *name_off; /* n_seqs entries: start of each name */
+    const char *annos;
+    const int64_t *anno_off;
+} fin_t;
+
+/* opt flag bits (core/opts.py) */
+#define MEM_F_PE 0x2
+#define MEM_F_NOPAIRING 0x4
+#define MEM_F_ALL 0x8
+#define MEM_F_NO_MULTI 0x10
+#define MEM_F_NO_RESCUE 0x20
+#define MEM_F_REF_HDR 0x100
+#define MEM_F_SOFTCLIP 0x200
+#define MEM_F_PRIMARY5 0x800
+#define MEM_F_KEEP_SUPP_MAPQ 0x1000
+
+#define KSW_XBYTE 0x10000
+#define KSW_XSTOP 0x20000
+#define KSW_XSUBO 0x40000
+#define KSW_XSTART 0x80000
+
+#define MINUS_INF (-0x40000000)
+#define F_INT_MAX 0x7FFFFFFF
+#define MEM_MAPQ_COEF 30.0
+/* double(float32(0.05)) / double(float32(0.90)) (core/region.py:22-23) */
+#define PATCH_MAX_R_BW ((double)(float)0.05)
+#define PATCH_MIN_SC_RATIO ((double)(float)0.90)
+
+/* per-call scratch (one per batch call; calls are single-threaded,
+ * concurrency comes from multiple aligner workers each making their own
+ * call with the GIL released) */
+typedef struct {
+    int32_t *eh_h; size_t eh_h_m;
+    int32_t *eh_e; size_t eh_e_m;
+    uint8_t *z; size_t z_m;
+    uint32_t *cig; size_t cig_m;
+    uint8_t *rseq; size_t rseq_m;
+    uint8_t *qrev; size_t qrev_m;
+    uint8_t *trev; size_t trev_m;
+    int32_t *H; size_t H_m;
+    int32_t *E; size_t E_m;
+    int32_t *Hmax; size_t Hmax_m;
+    int16_t *prof; size_t prof_m;
+    int32_t *b_s; size_t b_s_m;
+    int32_t *b_i; size_t b_i_m;
+    int *z_idx; size_t z_idx_m;
+    uint8_t *mrev; size_t mrev_m;
+} scr_t;
+
+static void *scr_get(void **buf, size_t *cap, size_t need, size_t esz) {
+    if (need * esz > *cap) {
+        size_t m = need * esz;
+        m += m >> 1;
+        void *p = realloc(*buf, m);
+        if (!p) { g_oom = 1; return *buf; }
+        *buf = p; *cap = m;
+    }
+    return *buf;
+}
+
+#define SCR(scr, field, type, n) \
+    ((type *)scr_get((void **)&(scr)->field, &(scr)->field##_m, (size_t)(n), sizeof(type)))
+
+static void scr_destroy(scr_t *s) {
+    free(s->eh_h); free(s->eh_e); free(s->z); free(s->cig); free(s->rseq);
+    free(s->qrev); free(s->trev); free(s->H); free(s->E); free(s->Hmax);
+    free(s->prof); free(s->b_s); free(s->b_i); free(s->z_idx); free(s->mrev);
+    memset(s, 0, sizeof *s);
+}
+
+/* ------------------------------------------------------------------ */
+/* reference coordinates (spec: core/refseq.py)                        */
+/* ------------------------------------------------------------------ */
+
+static int64_t bns_depos(const fin_t *f, int64_t pos, int *is_rev) {
+    *is_rev = pos >= f->l_pac;
+    return *is_rev ? (f->l_pac << 1) - 1 - pos : pos;
+}
+
+static int bns_pos2rid(const fin_t *f, int64_t pos_f) {
+    if (pos_f >= f->l_pac) return -1;
+    int left = 0, mid = 0, right = f->n_seqs;
+    while (left < right) {
+        mid = (left + right) >> 1;
+        if (pos_f >= f->ann_off[mid]) {
+            if (mid == f->n_seqs - 1) break;
+            if (pos_f < f->ann_off[mid + 1]) break;
+            left = mid + 1;
+        } else right = mid;
+    }
+    return mid;
+}
+
+/* bns_get_seq into out (caller-sized); returns length */
+static int64_t bns_get_seq(const fin_t *f, int64_t beg, int64_t end,
+                           uint8_t *out) {
+    if (end < beg) { int64_t t = beg; beg = end; end = t; }
+    if (end > f->l_pac << 1) end = f->l_pac << 1;
+    if (beg < 0) beg = 0;
+    if (beg >= f->l_pac || end <= f->l_pac) {
+        if (beg >= f->l_pac) {
+            int64_t beg_f = (f->l_pac << 1) - end;
+            int64_t end_f = (f->l_pac << 1) - beg;
+            int64_t n = end_f - beg_f;
+            for (int64_t i = 0; i < n; ++i)
+                out[i] = 3 - f->ref[end_f - 1 - i];
+            return n;
+        }
+        memcpy(out, f->ref + beg, (size_t)(end - beg));
+        return end - beg;
+    }
+    return 0;
+}
+
+/* bns_fetch_seq: clamp [beg,end) to contig containing mid */
+static int64_t bns_fetch_seq(const fin_t *f, int64_t beg, int64_t mid,
+                             int64_t end, uint8_t *out, int *rid_out,
+                             int64_t *beg_out, int64_t *end_out) {
+    if (end < beg) { int64_t t = beg; beg = end; end = t; }
+    int is_rev;
+    int64_t fm = bns_depos(f, mid, &is_rev);
+    int rid = bns_pos2rid(f, fm);
+    int64_t far_beg = f->ann_off[rid];
+    int64_t far_end = far_beg + f->ann_len[rid];
+    if (is_rev) {
+        int64_t t = far_beg;
+        far_beg = (f->l_pac << 1) - far_end;
+        far_end = (f->l_pac << 1) - t;
+    }
+    if (beg < far_beg) beg = far_beg;
+    if (end > far_end) end = far_end;
+    *rid_out = rid;
+    *beg_out = beg;
+    *end_out = end;
+    return bns_get_seq(f, beg, end, out);
+}
+
+/* ------------------------------------------------------------------ */
+/* banded global DP + traceback (spec: core/extend.py ksw_global2)     */
+/* ------------------------------------------------------------------ */
+
+/* Returns score; when want_cigar, *cig_out points into scr->cig (valid
+ * until the next call) with *ncig_out entries. */
+static int ksw_global2(scr_t *S, const uint8_t *q, int qlen,
+                       const uint8_t *t, int tlen, const int8_t *mat,
+                       int o_del, int e_del, int o_ins, int e_ins, int w,
+                       int want_cigar, uint32_t **cig_out, int *ncig_out) {
+    if (cig_out) { *cig_out = 0; *ncig_out = 0; }
+    if (qlen == 0) return 0;
+    int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    int n_col = qlen < 2 * w + 1 ? qlen : 2 * w + 1;
+    uint8_t *z = 0;
+    if (want_cigar) {
+        z = SCR(S, z, uint8_t, (size_t)tlen * n_col);
+        if (g_oom) return 0;
+    }
+    int32_t *eh_h = SCR(S, eh_h, int32_t, qlen + 2);
+    int32_t *eh_e = SCR(S, eh_e, int32_t, qlen + 2);
+    if (g_oom) return 0;
+    for (int j = 0; j <= qlen + 1; ++j) { eh_h[j] = MINUS_INF; eh_e[j] = MINUS_INF; }
+    eh_h[0] = 0;
+    int jmax = qlen < w ? qlen : w;
+    for (int j = 1; j <= jmax; ++j) eh_h[j] = -(o_ins + e_ins * j);
+    for (int i = 0; i < tlen; ++i) {
+        int beg = i > w ? i - w : 0;
+        int end = i + w + 1 < qlen ? i + w + 1 : qlen;
+        int32_t h1 = (beg == 0) ? -(o_del + e_del * (i + 1)) : MINUS_INF;
+        int32_t f = MINUS_INF;
+        const int8_t *row = mat + t[i] * 5;
+        uint8_t *zr = want_cigar ? z + (size_t)i * n_col : 0;
+        for (int j = beg; j < end; ++j) {
+            /* M from previous-row H (diag), E from previous-row E */
+            int32_t m = eh_h[j] + row[q[j]];
+            int32_t e = eh_e[j];
+            int32_t h;
+            uint8_t d;
+            if (want_cigar) {
+                d = m >= e ? 0 : 1;
+                h = m >= e ? m : e;
+                if (h < f) { d = 2; h = f; }
+                /* e-extension bit for cell (i+1, j): old E - e_del > m - oe_del */
+                if (e - e_del > m - oe_del) d |= 1 << 2;
+                /* f-extension bit for next cell: F[j+1] from extension */
+                if (f - e_ins > m - oe_ins) d |= 0x20;
+                zr[j - beg] = d;
+            } else {
+                h = m >= e ? m : e;
+                if (h < f) h = f;
+            }
+            int32_t ne = m - oe_del > e - e_del ? m - oe_del : e - e_del;
+            eh_h[j] = h1;
+            h1 = h;
+            eh_e[j] = ne;
+            int32_t nf = f - e_ins > m - oe_ins ? f - e_ins : m - oe_ins;
+            f = nf;
+        }
+        eh_h[end] = h1;
+        eh_e[end] = MINUS_INF;
+    }
+    int score = eh_h[qlen];
+    if (!want_cigar) return score;
+    /* traceback (spec: core/extend.py:209-240) */
+    uint32_t *cig = SCR(S, cig, uint32_t, (size_t)qlen + tlen + 4);
+    if (g_oom) return score;
+    int nc = 0;
+    int i = tlen - 1;
+    int k = (i + w + 1 < qlen ? i + w + 1 : qlen) - 1;
+    int which = 0;
+    while (i >= 0 && k >= 0) {
+        int beg = i > w ? i - w : 0;
+        int d = z[(size_t)i * n_col + (k - beg)];
+        which = (d >> (which << 1)) & 3;
+        int op;
+        if (which == 0) { op = 0; --i; --k; }
+        else if (which == 1) { op = 2; --i; }
+        else { op = 1; --k; }
+        if (nc && (int)(cig[nc - 1] & 0xF) == op) cig[nc - 1] += 1 << 4;
+        else cig[nc++] = (1u << 4) | (uint32_t)op;
+    }
+    if (i >= 0) {
+        if (nc && (cig[nc - 1] & 0xF) == 2) cig[nc - 1] += (uint32_t)(i + 1) << 4;
+        else cig[nc++] = ((uint32_t)(i + 1) << 4) | 2;
+    }
+    if (k >= 0) {
+        if (nc && (cig[nc - 1] & 0xF) == 1) cig[nc - 1] += (uint32_t)(k + 1) << 4;
+        else cig[nc++] = ((uint32_t)(k + 1) << 4) | 1;
+    }
+    /* reverse */
+    for (int a = 0, b = nc - 1; a < b; ++a, --b) {
+        uint32_t tt = cig[a]; cig[a] = cig[b]; cig[b] = tt;
+    }
+    *cig_out = cig;
+    *ncig_out = nc;
+    return score;
+}
+
+/* ------------------------------------------------------------------ */
+/* gen_cigar: CIGAR + MD + NM (spec: core/cigar.py)                    */
+/* ------------------------------------------------------------------ */
+
+/* Returns 0 and fills outputs; -1 when the Python version returns None.
+ * cigar/md outputs are malloc'd (caller frees); score_out always set on 0.
+ * When want_cigar==0 only score_out is produced. */
+static int gen_cigar(const fin_t *f, scr_t *S, const uint8_t *query_in,
+                     int l_query, int64_t rb, int64_t re, int w_,
+                     int want_cigar, int *score_out, uint32_t **cig_out,
+                     int *ncig_out, char **md_out, int *nm_out) {
+    if (l_query <= 0 || rb >= re || (rb < f->l_pac && re > f->l_pac))
+        return -1;
+    uint8_t *rseq = SCR(S, rseq, uint8_t, (size_t)(re - rb) + 1);
+    if (g_oom) return -1;
+    int64_t rlen = bns_get_seq(f, rb, re, rseq);
+    if (re - rb != rlen) return -1;
+    const uint8_t *query = query_in;
+    if (rb >= f->l_pac) { /* reverse both to place indels leftmost */
+        uint8_t *qr = SCR(S, qrev, uint8_t, (size_t)l_query);
+        if (g_oom) return -1;
+        for (int i = 0; i < l_query; ++i) qr[i] = query_in[l_query - 1 - i];
+        query = qr;
+        for (int64_t a = 0, b = rlen - 1; a < b; ++a, --b) {
+            uint8_t t = rseq[a]; rseq[a] = rseq[b]; rseq[b] = t;
+        }
+    }
+    int score;
+    uint32_t *cig = 0;
+    int ncig = 0;
+    if (l_query == re - rb && w_ == 0) {
+        if (want_cigar) {
+            cig = SCR(S, cig, uint32_t, 1);
+            if (g_oom) return -1;
+            cig[0] = ((uint32_t)l_query << 4) | 0;
+            ncig = 1;
+        }
+        score = 0;
+        for (int i = 0; i < l_query; ++i)
+            score += f->mat[rseq[i] * 5 + query[i]];
+    } else {
+        int max_ins = (int)((((l_query + 1) >> 1) * (int)f->mat[0] - f->o_ins)
+                            / (double)f->e_ins + 1.0);
+        int max_del = (int)((((l_query + 1) >> 1) * (int)f->mat[0] - f->o_del)
+                            / (double)f->e_del + 1.0);
+        int max_gap = max_ins > max_del ? max_ins : max_del;
+        if (max_gap < 1) max_gap = 1;
+        int w = (max_gap + (int)llabs(rlen - l_query) + 1) >> 1;
+        if (w > w_) w = w_;
+        int min_w = (int)llabs(rlen - l_query) + 3;
+        if (w < min_w) w = min_w;
+        score = ksw_global2(S, query, l_query, rseq, (int)rlen, f->mat,
+                            f->o_del, f->e_del, f->o_ins, f->e_ins, w,
+                            want_cigar, &cig, &ncig);
+        if (g_oom) return -1;
+    }
+    *score_out = score;
+    if (!want_cigar) return 0;
+    /* NM and MD over the (possibly reversed) query/rseq */
+    const char *int2base = rb < f->l_pac ? "ACGTN" : "TGCAN";
+    ks_t md = {0, 0, 0};
+    int x = 0, y = 0, u = 0, n_mm = 0, n_gap = 0;
+    for (int k = 0; k < ncig; ++k) {
+        int ln = (int)(cig[k] >> 4), op = (int)(cig[k] & 0xF);
+        if (op == 0) {
+            for (int i = 0; i < ln; ++i) {
+                if (query[x + i] != rseq[y + i]) {
+                    ks_putll(&md, u);
+                    ks_putc(&md, int2base[rseq[y + i]]);
+                    ++n_mm;
+                    u = 0;
+                } else ++u;
+            }
+            x += ln; y += ln;
+        } else if (op == 2) {
+            if (k > 0 && k < ncig - 1) {
+                ks_putll(&md, u);
+                ks_putc(&md, '^');
+                for (int i = 0; i < ln; ++i) ks_putc(&md, int2base[rseq[y + i]]);
+                u = 0;
+                n_gap += ln;
+            }
+            y += ln;
+        } else if (op == 1) {
+            x += ln;
+            n_gap += ln;
+        }
+    }
+    ks_putll(&md, u);
+    if (g_oom) { ks_free(&md); return -1; }
+    uint32_t *cc = 0;
+    if (ncig) {
+        cc = (uint32_t *)malloc((size_t)ncig * 4);
+        if (!cc) { g_oom = 1; ks_free(&md); return -1; }
+        memcpy(cc, cig, (size_t)ncig * 4);
+    }
+    *cig_out = cc;
+    *ncig_out = ncig;
+    *md_out = md.s ? md.s : strdup("");
+    *nm_out = n_mm + n_gap;
+    return 0;
+}
+
+/* ------------------------------------------------------------------ */
+/* striped local SW emulation (spec: core/extend.py _ksw_striped)      */
+/* ------------------------------------------------------------------ */
+
+typedef struct { int score, te, qe, qb, tb, score2, te2; } kswr_t;
+
+static kswr_t ksw_striped(scr_t *S, const uint8_t *q, int qlen,
+                          const uint8_t *t, int tlen, const int8_t *mat,
+                          int o_del, int e_del, int o_ins, int e_ins,
+                          int xtra, int size) {
+    kswr_t r = {0, -1, -1, -1, -1, -1, -1};
+    int p = 8 * (3 - size); /* 16 for u8, 8 for i16 */
+    int slen = (qlen + p - 1) / p;
+    int nlen = slen * p;
+    int minsc = (xtra & KSW_XSUBO) ? (xtra & 0xFFFF) : 0x10000;
+    int endsc = (xtra & KSW_XSTOP) ? (xtra & 0xFFFF) : 0x10000;
+    int mat_min = 127, mat_max = -128;
+    for (int i = 0; i < 25; ++i) {
+        if (mat[i] < mat_min) mat_min = mat[i];
+        if (mat[i] > mat_max) mat_max = mat[i];
+    }
+    int shift = (256 - mat_min) & 0xFF;
+    int qmax = mat_max;
+    int cap255 = size == 1;
+    int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    int16_t *prof = SCR(S, prof, int16_t, (size_t)5 * nlen);
+    int32_t *H = SCR(S, H, int32_t, nlen);
+    int32_t *E = SCR(S, E, int32_t, nlen);
+    int32_t *Hmax = SCR(S, Hmax, int32_t, nlen);
+    if (g_oom) return r;
+    for (int c = 0; c < 5; ++c) {
+        for (int j = 0; j < qlen; ++j) prof[c * nlen + j] = mat[c * 5 + q[j]];
+        for (int j = qlen; j < nlen; ++j) prof[c * nlen + j] = 0;
+    }
+    memset(H, 0, (size_t)nlen * 4);
+    memset(E, 0, (size_t)nlen * 4);
+    memset(Hmax, 0, (size_t)nlen * 4);
+    int gmax = 0, te = -1;
+    int nb = 0;
+    size_t b_cap_elems = (size_t)tlen + 1;
+    int32_t *b_s = SCR(S, b_s, int32_t, b_cap_elems);
+    int32_t *b_i = SCR(S, b_i, int32_t, b_cap_elems);
+    if (g_oom) return r;
+    for (int i = 0; i < tlen; ++i) {
+        const int16_t *sp = prof + t[i] * nlen;
+        int32_t diag = 0; /* H_prev[-1] */
+        int32_t f = 0;
+        int32_t imax = 0;
+        for (int j = 0; j < nlen; ++j) {
+            int32_t oldH = H[j];
+            int32_t hm;
+            if (cap255) {
+                hm = diag + (sp[j] + shift);
+                if (hm > 255) hm = 255;
+                hm -= shift;
+                if (hm < 0) hm = 0;
+            } else hm = diag + sp[j];
+            int32_t e = E[j];
+            int32_t hnf = hm > e ? hm : e;
+            int32_t h = hnf > f ? hnf : f;
+            H[j] = h;
+            if (h > imax) imax = h;
+            int32_t e1 = e - e_del; if (e1 < 0) e1 = 0;
+            int32_t e2 = h - oe_del; if (e2 < 0) e2 = 0;
+            E[j] = e1 > e2 ? e1 : e2;
+            int32_t f1 = f - e_ins, f2 = hnf - oe_ins;
+            f = f1 > f2 ? f1 : f2;
+            if (f < 0) f = 0;
+            diag = oldH;
+        }
+        if (imax >= minsc) {
+            if (nb == 0 || b_i[nb - 1] + 1 != i) { b_s[nb] = imax; b_i[nb] = i; ++nb; }
+            else if (b_s[nb - 1] < imax) { b_s[nb - 1] = imax; b_i[nb - 1] = i; }
+        }
+        if (imax > gmax) {
+            gmax = imax; te = i;
+            memcpy(Hmax, H, (size_t)nlen * 4);
+            if ((cap255 && gmax + shift >= 255) || gmax >= endsc) break;
+        }
+    }
+    r.score = cap255 ? (gmax + shift < 255 ? gmax : 255) : gmax;
+    r.te = te;
+    if (!cap255 || r.score != 255) {
+        if (nlen) {
+            int32_t mx = Hmax[0];
+            for (int j = 1; j < nlen; ++j) if (Hmax[j] > mx) mx = Hmax[j];
+            for (int j = 0; j < nlen; ++j)
+                if (Hmax[j] == mx) { r.qe = j; break; }
+        }
+        if (nb) {
+            int ii = (r.score + qmax - 1) / qmax;
+            int low = te - ii, high = te + ii;
+            for (int k = 0; k < nb; ++k)
+                if ((b_i[k] < low || b_i[k] > high) && b_s[k] > r.score2) {
+                    r.score2 = b_s[k];
+                    r.te2 = b_i[k];
+                }
+        }
+    }
+    return r;
+}
+
+/* spec: core/extend.py ksw_align2 */
+static kswr_t ksw_align2(scr_t *S, const uint8_t *q, int qlen,
+                         const uint8_t *t, int tlen, const int8_t *mat,
+                         int o_del, int e_del, int o_ins, int e_ins,
+                         int xtra) {
+    int size = (xtra & KSW_XBYTE) ? 1 : 2;
+    kswr_t r = ksw_striped(S, q, qlen, t, tlen, mat, o_del, e_del, o_ins,
+                           e_ins, xtra, size);
+    if ((xtra & KSW_XSTART) == 0
+        || ((xtra & KSW_XSUBO) && r.score < (xtra & 0xFFFF)))
+        return r;
+    if (r.score == 255) return r;
+    int ql2 = r.qe + 1, tl2 = r.te + 1;
+    if (ql2 <= 0 || tl2 <= 0) return r;
+    uint8_t *qr = SCR(S, qrev, uint8_t, (size_t)ql2);
+    uint8_t *tr = SCR(S, trev, uint8_t, (size_t)tl2);
+    if (g_oom) return r;
+    for (int i = 0; i < ql2; ++i) qr[i] = q[ql2 - 1 - i];
+    for (int i = 0; i < tl2; ++i) tr[i] = t[tl2 - 1 - i];
+    kswr_t rr = ksw_striped(S, qr, ql2, tr, tl2, mat, o_del, e_del, o_ins,
+                            e_ins, KSW_XSTOP | r.score, size);
+    if (r.score == rr.score) {
+        r.tb = r.te - rr.te;
+        r.qb = r.qe - rr.qe;
+    }
+    return r;
+}
+
+/* ------------------------------------------------------------------ */
+/* region post-processing (spec: core/region.py)                       */
+/* ------------------------------------------------------------------ */
+
+/* C float literal comparisons: C evaluates `int > float * int` in float32
+ * (spec: core/region.py _fcmp_*) */
+#define FCMP_GT(lhs, coef, rhs) ((float)(lhs) > (float)((float)(coef) * (float)(rhs)))
+#define FCMP_GE(lhs, coef, rhs) ((float)(lhs) >= (float)((float)(coef) * (float)(rhs)))
+
+#define REG_END_LT(x, y) ((x).re < (y).re)
+KSORT_INIT(reg_end, alnreg_t, REG_END_LT)
+
+#define REG_SCORE_LT(x, y) \
+    ((x).score > (y).score || ((x).score == (y).score && \
+     ((x).rb < (y).rb || ((x).rb == (y).rb && (x).qb < (y).qb))))
+KSORT_INIT(reg_score, alnreg_t, REG_SCORE_LT)
+
+#define REG_HASH_LT(x, y) \
+    ((x).score > (y).score || ((x).score == (y).score && \
+     ((x).is_alt < (y).is_alt || ((x).is_alt == (y).is_alt && (x).hash < (y).hash))))
+KSORT_INIT(reg_hash, alnreg_t, REG_HASH_LT)
+
+#define REG_ALT_LT(x, y) \
+    ((x).is_alt < (y).is_alt || ((x).is_alt == (y).is_alt && \
+     ((x).score > (y).score || ((x).score == (y).score && (x).hash < (y).hash))))
+KSORT_INIT(reg_alt, alnreg_t, REG_ALT_LT)
+
+typedef struct { uint64_t x, y; } pair64_t;
+#define PAIR64_LT(a, b) ((a).x < (b).x || ((a).x == (b).x && (a).y < (b).y))
+KSORT_INIT(pair64, pair64_t, PAIR64_LT)
+
+/* mem_patch_reg (spec: core/region.py:223-251). have_ref==0 -> always 0. */
+static int mem_patch_reg(const fin_t *f, scr_t *S, int have_ref,
+                         const uint8_t *query, const alnreg_t *a,
+                         const alnreg_t *b, int *w_out) {
+    if (!have_ref) return 0;
+    if (a->rb < f->l_pac && b->rb >= f->l_pac) return 0;
+    if (a->qb >= b->qb || a->qe >= b->qe || a->re >= b->re) return 0;
+    int w = (int)llabs((a->re - b->rb) - (int64_t)(a->qe - b->qb));
+    double r = fabs((double)(a->re - b->rb) / (double)(b->re - a->rb)
+                    - (double)(a->qe - b->qb) / (double)(b->qe - a->qb));
+    if (a->re < b->rb || a->qe < b->qb) { /* no overlap on ref or query */
+        if (w > f->w << 1 || r >= PATCH_MAX_R_BW) return 0;
+    } else if (w > f->w << 2 || r >= PATCH_MAX_R_BW * 2.0) return 0;
+    w += a->w + b->w;
+    if (w > f->w << 2) w = f->w << 2;
+    int score;
+    if (gen_cigar(f, S, query + a->qb, b->qe - a->qb, a->rb, b->re, 0, 0,
+                  &score, 0, 0, 0, 0) != 0)
+        return 0;
+    int q_s = (int)((double)(b->qe - a->qb)
+                    / ((b->qe - b->qb) + (a->qe - a->qb))
+                    * (b->score + a->score) + 0.499);
+    int r_s = (int)((double)(b->re - a->rb)
+                    / ((b->re - b->rb) + (a->re - a->rb))
+                    * (b->score + a->score) + 0.499);
+    int mqr = q_s > r_s ? q_s : r_s;
+    if ((double)score / mqr < PATCH_MIN_SC_RATIO) return 0;
+    *w_out = w;
+    return score;
+}
+
+/* mem_sort_dedup_patch (spec: core/region.py:254-303); in-place on av. */
+static void mem_sort_dedup_patch(const fin_t *f, scr_t *S, int have_ref,
+                                 const uint8_t *query, regvec_t *av) {
+    int n = av->n;
+    if (n <= 1) return;
+    alnreg_t *a = av->a;
+    reg_end_sort(a, n);
+    for (int i = 0; i < n; ++i) a[i].n_comp = 1;
+    for (int i = 1; i < n; ++i) {
+        alnreg_t *p = &a[i];
+        if (p->rid != a[i - 1].rid || p->rb >= a[i - 1].re + f->max_chain_gap)
+            continue;
+        int j = i - 1;
+        while (j >= 0 && p->rid == a[j].rid
+               && p->rb < a[j].re + f->max_chain_gap) {
+            alnreg_t *q = &a[j];
+            if (q->qe == q->qb) { --j; continue; }
+            int64_t o_r = q->re - p->rb;
+            int oq = (q->qb < p->qb) ? (q->qe - p->qb) : (p->qe - q->qb);
+            int64_t mr = (q->re - q->rb) < (p->re - p->rb)
+                         ? (q->re - q->rb) : (p->re - p->rb);
+            int mq = (q->qe - q->qb) < (p->qe - p->qb)
+                     ? (q->qe - q->qb) : (p->qe - p->qb);
+            if (FCMP_GT(o_r, f->mask_level_redun, mr)
+                && FCMP_GT(oq, f->mask_level_redun, mq)) {
+                if (p->score < q->score) { p->qe = p->qb; break; }
+                else q->qe = q->qb;
+            } else if (q->rb < p->rb) {
+                int w = 0;
+                int score = mem_patch_reg(f, S, have_ref, query, q, p, &w);
+                if (score > 0) {
+                    p->n_comp += q->n_comp + 1;
+                    if (q->seedcov > p->seedcov) p->seedcov = q->seedcov;
+                    if (q->sub > p->sub) p->sub = q->sub;
+                    if (q->csub > p->csub) p->csub = q->csub;
+                    p->qb = q->qb; p->rb = q->rb;
+                    p->truesc = p->score = score;
+                    p->w = w;
+                    q->qb = q->qe;
+                }
+            }
+            --j;
+        }
+    }
+    int m = 0;
+    for (int i = 0; i < n; ++i)
+        if (a[i].qe > a[i].qb) a[m++] = a[i];
+    n = m;
+    reg_score_sort(a, n);
+    for (int i = 1; i < n; ++i)
+        if (a[i].score == a[i - 1].score && a[i].rb == a[i - 1].rb
+            && a[i].qb == a[i - 1].qb)
+            a[i].qe = a[i].qb;
+    m = n > 0 ? 1 : 0;
+    for (int i = 1; i < n; ++i)
+        if (a[i].qe > a[i].qb) a[m++] = a[i];
+    av->n = m;
+}
+
+/* mem_mark_primary_se_core (spec: core/region.py:306-327) over a[:n] */
+static void mark_primary_core(const fin_t *f, alnreg_t *a, int n, scr_t *S) {
+    int tmp = f->a + f->b;
+    if (f->o_del + f->e_del > tmp) tmp = f->o_del + f->e_del;
+    if (f->o_ins + f->e_ins > tmp) tmp = f->o_ins + f->e_ins;
+    int *z = SCR(S, z_idx, int, (size_t)n + 1);
+    if (g_oom) return;
+    int nz = 0;
+    z[nz++] = 0;
+    for (int i = 1; i < n; ++i) {
+        int found = -1;
+        for (int ki = 0; ki < nz; ++ki) {
+            int j = z[ki];
+            int b_max = a[j].qb > a[i].qb ? a[j].qb : a[i].qb;
+            int e_min = a[j].qe < a[i].qe ? a[j].qe : a[i].qe;
+            if (e_min > b_max) {
+                int li = a[i].qe - a[i].qb, lj = a[j].qe - a[j].qb;
+                int min_l = li < lj ? li : lj;
+                if (FCMP_GE(e_min - b_max, f->mask_level, min_l)) {
+                    if (a[j].sub == 0) a[j].sub = a[i].score;
+                    if (a[j].score - a[i].score <= tmp
+                        && (a[j].is_alt || !a[i].is_alt))
+                        ++a[j].sub_n;
+                    found = j;
+                    break;
+                }
+            }
+        }
+        if (found < 0) z[nz++] = i;
+        else a[i].secondary = found;
+    }
+}
+
+/* mem_mark_primary_se (spec: core/region.py:330-373). Returns n_pri. */
+static int mem_mark_primary_se(const fin_t *f, regvec_t *av, uint64_t id_,
+                               scr_t *S) {
+    int n = av->n;
+    if (n == 0) return 0;
+    alnreg_t *a = av->a;
+    int n_pri = 0;
+    for (int i = 0; i < n; ++i) {
+        a[i].sub = a[i].alt_sc = 0;
+        a[i].secondary = a[i].secondary_all = -1;
+        a[i].hash = hash_64(id_ + (uint64_t)i);
+        if (!a[i].is_alt) ++n_pri;
+    }
+    reg_hash_sort(a, n);
+    mark_primary_core(f, a, n, S);
+    if (g_oom) return n_pri;
+    for (int i = 0; i < n; ++i) {
+        a[i].secondary_all = i;
+        if (!a[i].is_alt && a[i].secondary >= 0 && a[a[i].secondary].is_alt)
+            a[i].alt_sc = a[a[i].secondary].score;
+    }
+    if (n_pri >= 0 && n_pri < n) {
+        if (n_pri > 0) reg_alt_sort(a, n);
+        int *z = (int *)malloc((size_t)n * sizeof(int));
+        if (!z) { g_oom = 1; return n_pri; }
+        for (int i = 0; i < n; ++i) z[a[i].secondary_all] = i;
+        for (int i = 0; i < n; ++i) {
+            if (a[i].secondary >= 0) {
+                a[i].secondary_all = z[a[i].secondary];
+                if (a[i].is_alt) a[i].secondary = F_INT_MAX;
+            } else a[i].secondary_all = -1;
+        }
+        free(z);
+        if (n_pri > 0) {
+            for (int i = 0; i < n_pri; ++i) {
+                a[i].sub = 0;
+                a[i].secondary = -1;
+            }
+            mark_primary_core(f, a, n_pri, S);
+        }
+    } else {
+        for (int i = 0; i < n; ++i) a[i].secondary_all = a[i].secondary;
+    }
+    return n_pri;
+}
+
+/* mem_approx_mapq_se (spec: core/region.py:376-398) */
+static int mem_approx_mapq_se(const fin_t *f, const alnreg_t *a) {
+    int sub = a->sub ? a->sub : f->min_seed_len * f->a;
+    if (a->csub > sub) sub = a->csub;
+    if (sub >= a->score) return 0;
+    int64_t l64 = (a->qe - a->qb) > (a->re - a->rb) ? (a->qe - a->qb)
+                                                    : (a->re - a->rb);
+    double l = (double)l64;
+    double identity = 1.0 - (l * f->a - a->score) / (f->a + f->b) / l;
+    int mapq;
+    if (a->score == 0) mapq = 0;
+    else if (f->mapQ_coef_len > 0) {
+        double tmp = l < f->mapQ_coef_len ? 1.0 : f->mapQ_coef_fac / log(l);
+        tmp *= identity * identity;
+        mapq = (int)(6.02 * (a->score - sub) / f->a * tmp * tmp + 0.499);
+    } else {
+        mapq = (int)(MEM_MAPQ_COEF * (1.0 - (double)sub / a->score)
+                     * log((double)a->seedcov) + 0.499);
+        if (identity < 0.95)
+            mapq = (int)(mapq * identity * identity + 0.499);
+    }
+    if (a->sub_n > 0) mapq -= (int)(4.343 * log(a->sub_n + 1.0) + 0.499);
+    if (mapq > 60) mapq = 60;
+    if (mapq < 0) mapq = 0;
+    mapq = (int)(mapq * (1.0 - a->frac_rep) + 0.499);
+    return mapq;
+}
+
+/* mem_reorder_primary5 (spec: core/region.py:401-426) */
+static void mem_reorder_primary5(int T, regvec_t *av) {
+    int n = av->n;
+    alnreg_t *a = av->a;
+    int n_pri = 0;
+    for (int k = 0; k < n; ++k)
+        if (a[k].secondary < 0 && !a[k].is_alt && a[k].score >= T) ++n_pri;
+    if (n_pri <= 1) return;
+    int left_st = F_INT_MAX, left_k = -1;
+    for (int k = 0; k < n; ++k) {
+        if (a[k].secondary >= 0 || a[k].is_alt || a[k].score < T) continue;
+        if (a[k].qb < left_st) { left_st = a[k].qb; left_k = k; }
+    }
+    if (left_k == 0) return;
+    alnreg_t t = a[0]; a[0] = a[left_k]; a[left_k] = t;
+    for (int k = 1; k < n; ++k) {
+        alnreg_t *p = &a[k];
+        if (p->secondary == 0) p->secondary = left_k;
+        else if (p->secondary == left_k) p->secondary = 0;
+        if (p->secondary_all == 0) p->secondary_all = left_k;
+        else if (p->secondary_all == left_k) p->secondary_all = 0;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* SAM record generation (spec: core/sam.py)                           */
+/* ------------------------------------------------------------------ */
+
+/* infer_bw (spec: core/sam.py:68-73) */
+static int infer_bw(int l1, int l2, int score, int a, int q, int r) {
+    if (l1 == l2 && l1 * a - score < (q + r - a) << 1) return 0;
+    int w = (int)(((double)((l1 < l2 ? l1 : l2) * a - score - q)) / r + 2.0);
+    int d = l1 > l2 ? l1 - l2 : l2 - l1;
+    return w > d ? w : d;
+}
+
+static int64_t get_rlen(const uint32_t *cig, int n) {
+    int64_t l = 0;
+    for (int k = 0; k < n; ++k) {
+        int op = (int)(cig[k] & 0xF);
+        if (op == 0 || op == 2) l += cig[k] >> 4;
+    }
+    return l;
+}
+
+/* mem_reg2aln (spec: core/sam.py:80-136) */
+static void mem_reg2aln(const fin_t *f, scr_t *S, aln_t *out,
+                        const uint8_t *query, int l_query,
+                        const alnreg_t *ar) {
+    aln_init(out);
+    if (!ar || ar->rb < 0 || ar->re < 0) {
+        out->rid = -1;
+        out->pos = -1;
+        out->flag |= 0x4;
+        return;
+    }
+    int qb = ar->qb, qe = ar->qe;
+    int64_t rb = ar->rb, re = ar->re;
+    out->mapq = ar->secondary < 0 ? mem_approx_mapq_se(f, ar) : 0;
+    if (ar->secondary >= 0) out->flag |= 0x100;
+    int tmp = infer_bw(qe - qb, (int)(re - rb), ar->truesc, f->a, f->o_del,
+                       f->e_del);
+    int w2 = infer_bw(qe - qb, (int)(re - rb), ar->truesc, f->a, f->o_ins,
+                      f->e_ins);
+    if (tmp > w2) w2 = tmp;
+    if (w2 > f->w) { if (w2 > ar->w) w2 = ar->w; }
+    int i = 0, last_sc = -(1 << 30);
+    int score = 0;
+    uint32_t *cig = 0;
+    int ncig = 0;
+    char *md = 0;
+    int NM = 0;
+    for (;;) {
+        if (w2 > f->w << 2) w2 = f->w << 2;
+        free(cig); free(md);
+        cig = 0; md = 0; ncig = 0;
+        int rc = gen_cigar(f, S, query + qb, qe - qb, rb, re, w2, 1, &score,
+                           &cig, &ncig, &md, &NM);
+        if (rc != 0) { score = 0; cig = 0; ncig = 0; md = strdup(""); NM = 0; break; }
+        if (score == last_sc || w2 == f->w << 2) break;
+        last_sc = score;
+        w2 <<= 1;
+        ++i;
+        if (!(i < 3 && score < ar->truesc - f->a)) break;
+    }
+    out->cigar = cig;
+    out->n_cigar = ncig;
+    out->md = md;
+    out->NM = NM;
+    int is_rev;
+    int64_t pos = bns_depos(f, rb < f->l_pac ? rb : re - 1, &is_rev);
+    out->is_rev = is_rev;
+    if (out->n_cigar) { /* squeeze leading/trailing deletions */
+        if ((out->cigar[0] & 0xF) == 2) {
+            pos += out->cigar[0] >> 4;
+            memmove(out->cigar, out->cigar + 1, (size_t)(out->n_cigar - 1) * 4);
+            --out->n_cigar;
+        } else if ((out->cigar[out->n_cigar - 1] & 0xF) == 2) {
+            --out->n_cigar;
+        }
+    }
+    if (qb != 0 || qe != l_query) { /* soft clips */
+        int clip5 = is_rev ? l_query - qe : qb;
+        int clip3 = is_rev ? qb : l_query - qe;
+        uint32_t *nc = (uint32_t *)malloc((size_t)(out->n_cigar + 2) * 4);
+        if (!nc) { g_oom = 1; return; }
+        int m = 0;
+        if (clip5) nc[m++] = ((uint32_t)clip5 << 4) | 3;
+        memcpy(nc + m, out->cigar, (size_t)out->n_cigar * 4);
+        m += out->n_cigar;
+        if (clip3) nc[m++] = ((uint32_t)clip3 << 4) | 3;
+        free(out->cigar);
+        out->cigar = nc;
+        out->n_cigar = m;
+    }
+    out->rid = bns_pos2rid(f, pos);
+    out->pos = pos - f->ann_off[out->rid];
+    out->score = ar->score;
+    out->sub = ar->sub > ar->csub ? ar->sub : ar->csub;
+    out->is_alt = ar->is_alt;
+    out->alt_sc = ar->alt_sc;
+}
+
+typedef struct {
+    const uint8_t *seq; int l_seq;
+    const char *qual; int l_qual;     /* 0 -> "*" */
+    const char *name; int l_name;
+    const char *comment; int l_comment;
+    ks_t sam;
+} read_t;
+
+/* add_cigar (spec: core/sam.py:139-147) */
+static void add_cigar(const fin_t *f, const uint32_t *cig, int ncig,
+                      int is_alt, int which, ks_t *out) {
+    static const char OPS[] = "MIDSH";
+    if (ncig) {
+        for (int k = 0; k < ncig; ++k) {
+            int c = (int)(cig[k] & 0xF);
+            if (!(f->flag & MEM_F_SOFTCLIP) && !is_alt && (c == 3 || c == 4))
+                c = which ? 4 : 3;
+            ks_putll(out, cig[k] >> 4);
+            ks_putc(out, OPS[c]);
+        }
+    } else ks_putc(out, '*');
+}
+
+/* mem_aln2sam (spec: core/sam.py:150-283): appends one line to s->sam */
+static void mem_aln2sam(const fin_t *f, read_t *s, int n, const aln_t *alns,
+                        int which, const aln_t *m_, const char *rg_id) {
+    aln_t p = alns[which]; /* local copies: flag/cigar-length mutations */
+    aln_t m;
+    aln_init(&m);
+    int has_m = m_ != 0;
+    if (has_m) m = *m_;
+
+    p.flag |= has_m ? 0x1 : 0;
+    p.flag |= p.rid < 0 ? 0x4 : 0;
+    p.flag |= (has_m && m.rid < 0) ? 0x8 : 0;
+    if (p.rid < 0 && has_m && m.rid >= 0) {
+        p.rid = m.rid; p.pos = m.pos; p.is_rev = m.is_rev;
+        p.cigar = 0; p.n_cigar = 0;
+    }
+    if (has_m && m.rid < 0 && p.rid >= 0) {
+        m.rid = p.rid; m.pos = p.pos; m.is_rev = p.is_rev;
+        m.cigar = 0; m.n_cigar = 0;
+    }
+    p.flag |= p.is_rev ? 0x10 : 0;
+    p.flag |= (has_m && m.is_rev) ? 0x20 : 0;
+
+    ks_t *out = &s->sam;
+    ks_putsn(out, s->name, (size_t)s->l_name);
+    ks_putc(out, '\t');
+    ks_putll(out, (p.flag & 0xFFFF) | ((p.flag & 0x10000) ? 0x100 : 0));
+    ks_putc(out, '\t');
+    if (p.rid >= 0) {
+        ks_puts(out, f->names + f->name_off[p.rid]);
+        ks_putc(out, '\t');
+        ks_putll(out, p.pos + 1);
+        ks_putc(out, '\t');
+        ks_putll(out, p.mapq);
+        ks_putc(out, '\t');
+        add_cigar(f, p.cigar, p.n_cigar, p.is_alt, which, out);
+    } else ks_puts(out, "*\t0\t0\t*");
+    ks_putc(out, '\t');
+
+    if (has_m && m.rid >= 0) {
+        if (p.rid == m.rid) ks_putc(out, '=');
+        else ks_puts(out, f->names + f->name_off[m.rid]);
+        ks_putc(out, '\t');
+        ks_putll(out, m.pos + 1);
+        ks_putc(out, '\t');
+        if (p.rid == m.rid) {
+            int64_t p0 = p.pos + (p.is_rev ? get_rlen(p.cigar, p.n_cigar) - 1 : 0);
+            int64_t p1 = m.pos + (m.is_rev ? get_rlen(m.cigar, m.n_cigar) - 1 : 0);
+            if (m.n_cigar == 0 || p.n_cigar == 0) ks_putc(out, '0');
+            else {
+                int64_t sign = p0 > p1 ? 1 : (p0 < p1 ? -1 : 0);
+                ks_putll(out, -(p0 - p1 + sign));
+            }
+        } else ks_putc(out, '0');
+    } else ks_puts(out, "*\t0\t0");
+    ks_putc(out, '\t');
+
+    /* SEQ and QUAL */
+    if (p.flag & 0x100) ks_puts(out, "*\t*");
+    else {
+        int qb = 0, qe = s->l_seq;
+        if (p.n_cigar && which && !(f->flag & MEM_F_SOFTCLIP) && !p.is_alt) {
+            int op0 = (int)(p.cigar[0] & 0xF);
+            int opl = (int)(p.cigar[p.n_cigar - 1] & 0xF);
+            if (!p.is_rev) {
+                if (op0 == 3 || op0 == 4) qb += p.cigar[0] >> 4;
+                if (opl == 3 || opl == 4) qe -= p.cigar[p.n_cigar - 1] >> 4;
+            } else {
+                if (op0 == 3 || op0 == 4) qe -= p.cigar[0] >> 4;
+                if (opl == 3 || opl == 4) qb += p.cigar[p.n_cigar - 1] >> 4;
+            }
+        }
+        static const char FWD[] = "ACGTN", REV[] = "TGCAN";
+        ks_grow(out, (size_t)(qe - qb) * 2 + 2);
+        if (!p.is_rev) {
+            for (int i = qb; i < qe; ++i)
+                ks_putc(out, FWD[s->seq[i] < 4 ? s->seq[i] : 4]);
+            ks_putc(out, '\t');
+            if (s->l_qual)
+                ks_putsn(out, s->qual + qb, (size_t)(qe - qb));
+            else ks_putc(out, '*');
+        } else {
+            for (int i = qe - 1; i >= qb; --i)
+                ks_putc(out, REV[s->seq[i] < 4 ? s->seq[i] : 4]);
+            ks_putc(out, '\t');
+            if (s->l_qual)
+                for (int i = qe - 1; i >= qb; --i) ks_putc(out, s->qual[i]);
+            else ks_putc(out, '*');
+        }
+    }
+
+    if (p.n_cigar) {
+        ks_puts(out, "\tNM:i:");
+        ks_putll(out, p.NM);
+        ks_puts(out, "\tMD:Z:");
+        ks_puts(out, p.md ? p.md : "");
+    }
+    if (has_m && m.n_cigar) {
+        ks_puts(out, "\tMC:Z:");
+        add_cigar(f, m.cigar, m.n_cigar, m.is_alt, which, out);
+    }
+    if (p.score >= 0) {
+        ks_puts(out, "\tAS:i:");
+        ks_putll(out, p.score);
+    }
+    if (p.sub >= 0) {
+        ks_puts(out, "\tXS:i:");
+        ks_putll(out, p.sub);
+    }
+    if (rg_id && rg_id[0]) {
+        ks_puts(out, "\tRG:Z:");
+        ks_puts(out, rg_id);
+    }
+    if (!(p.flag & 0x100)) {
+        int has_other = 0;
+        for (int i = 0; i < n; ++i)
+            if (i != which && !(alns[i].flag & 0x100)) { has_other = 1; break; }
+        if (has_other) {
+            static const char OPS[] = "MIDSH";
+            ks_puts(out, "\tSA:Z:");
+            for (int i = 0; i < n; ++i) {
+                const aln_t *r = &alns[i];
+                if (i == which || (r->flag & 0x100)) continue;
+                ks_puts(out, f->names + f->name_off[r->rid]);
+                ks_putc(out, ',');
+                ks_putll(out, r->pos + 1);
+                ks_putc(out, ',');
+                ks_putc(out, r->is_rev ? '-' : '+');
+                ks_putc(out, ',');
+                for (int k = 0; k < r->n_cigar; ++k) {
+                    ks_putll(out, r->cigar[k] >> 4);
+                    ks_putc(out, OPS[r->cigar[k] & 0xF]);
+                }
+                ks_putc(out, ',');
+                ks_putll(out, r->mapq);
+                ks_putc(out, ',');
+                ks_putll(out, r->NM);
+                ks_putc(out, ';');
+            }
+        }
+        if (p.alt_sc > 0) {
+            char b[48];
+            int nn = snprintf(b, sizeof b, "\tpa:f:%.3f",
+                              (double)p.score / p.alt_sc);
+            ks_putsn(out, b, (size_t)nn);
+        }
+    }
+    if (p.XA && p.XA[0]) {
+        ks_puts(out, "\tXA:Z:");
+        ks_puts(out, p.XA);
+    }
+    if (s->l_comment) {
+        ks_putc(out, '\t');
+        ks_putsn(out, s->comment, (size_t)s->l_comment);
+    }
+    if ((f->flag & MEM_F_REF_HDR) && p.rid >= 0
+        && f->annos[f->anno_off[p.rid]]) {
+        ks_puts(out, "\tXR:Z:");
+        for (const char *c = f->annos + f->anno_off[p.rid]; *c; ++c)
+            ks_putc(out, *c == '\t' ? ' ' : *c);
+    }
+    ks_putc(out, '\n');
+}
+
+/* _get_pri_idx (spec: core/sam.py:286-290) */
+static int get_pri_idx(const fin_t *f, const alnreg_t *a, int i) {
+    int k = a[i].secondary_all;
+    if (k >= 0 && (double)a[i].score >= a[k].score * f->XA_drop_ratio)
+        return k;
+    return -1;
+}
+
+/* mem_gen_alt (spec: core/sam.py:293-323): fills xa[n] kstrings; returns
+ * 1 if any XA exists (caller must ks_free all entries), else 0. */
+static int mem_gen_alt(const fin_t *f, scr_t *S, const regvec_t *av,
+                       int l_query, const uint8_t *query, ks_t *xa) {
+    static const char OPS_XA[] = "MIDSHN";
+    int n = av->n;
+    const alnreg_t *a = av->a;
+    int tot = 0;
+    int *cnt = (int *)calloc((size_t)n * 2 + 1, sizeof(int));
+    if (!cnt) { g_oom = 1; return 0; }
+    int *has_alt = cnt + n;
+    for (int i = 0; i < n; ++i) {
+        int r = get_pri_idx(f, a, i);
+        if (r >= 0) {
+            ++cnt[r];
+            ++tot;
+            if (a[i].is_alt) has_alt[r] = 1;
+        }
+    }
+    if (tot == 0) { free(cnt); return 0; }
+    for (int i = 0; i < n; ++i) {
+        int r = get_pri_idx(f, a, i);
+        if (r < 0) continue;
+        if (cnt[r] > f->max_XA_hits_alt
+            || (!has_alt[r] && cnt[r] > f->max_XA_hits))
+            continue;
+        aln_t t;
+        mem_reg2aln(f, S, &t, query, l_query, &a[i]);
+        ks_t *o = &xa[r];
+        ks_puts(o, f->names + f->name_off[t.rid]);
+        ks_putc(o, ',');
+        ks_putc(o, t.is_rev ? '-' : '+');
+        ks_putll(o, t.pos + 1);
+        ks_putc(o, ',');
+        for (int k = 0; k < t.n_cigar; ++k) {
+            ks_putll(o, t.cigar[k] >> 4);
+            ks_putc(o, OPS_XA[t.cigar[k] & 0xF]);
+        }
+        ks_putc(o, ',');
+        ks_putll(o, t.NM);
+        ks_putc(o, ';');
+        aln_destroy(&t);
+    }
+    free(cnt);
+    return 1;
+}
+
+/* mem_reg2sam (spec: core/sam.py:326-364): appends lines to s->sam */
+static void mem_reg2sam(const fin_t *f, scr_t *S, read_t *s, regvec_t *av,
+                        int extra_flag, const aln_t *m, const char *rg_id) {
+    int n = av->n;
+    const alnreg_t *a = av->a;
+    ks_t *xa = 0;
+    int have_xa = 0;
+    if (!(f->flag & MEM_F_ALL) && n) {
+        xa = (ks_t *)calloc((size_t)n, sizeof(ks_t));
+        if (!xa) { g_oom = 1; return; }
+        have_xa = mem_gen_alt(f, S, av, s->l_seq, s->seq, xa);
+    }
+    aln_t *aa = n ? (aln_t *)malloc((size_t)n * sizeof(aln_t)) : 0;
+    if (n && !aa) { g_oom = 1; goto done; }
+    int na = 0;
+    for (int k = 0; k < n; ++k) {
+        const alnreg_t *p = &a[k];
+        if (p->score < f->T) continue;
+        if (p->secondary >= 0 && (p->is_alt || !(f->flag & MEM_F_ALL)))
+            continue;
+        if (p->secondary >= 0 && p->secondary < F_INT_MAX
+            && (float)p->score < (float)((float)a[p->secondary].score
+                                         * (float)f->drop_ratio))
+            continue;
+        aln_t *q = &aa[na];
+        mem_reg2aln(f, S, q, s->seq, s->l_seq, p);
+        q->XA = (have_xa && xa[k].l) ? xa[k].s : 0;
+        q->flag |= extra_flag;
+        if (p->secondary >= 0) q->sub = -1;
+        if (na && p->secondary < 0)
+            q->flag |= (f->flag & MEM_F_NO_MULTI) ? 0x10000 : 0x800;
+        if (!(f->flag & MEM_F_KEEP_SUPP_MAPQ) && na && !p->is_alt
+            && q->mapq > aa[0].mapq)
+            q->mapq = aa[0].mapq;
+        ++na;
+    }
+    if (na == 0) {
+        aln_t t;
+        mem_reg2aln(f, S, &t, s->seq, s->l_seq, 0);
+        t.flag |= extra_flag;
+        mem_aln2sam(f, s, 1, &t, 0, m, rg_id);
+        aln_destroy(&t);
+    } else {
+        for (int k = 0; k < na; ++k)
+            mem_aln2sam(f, s, na, aa, k, m, rg_id);
+        for (int k = 0; k < na; ++k) aln_destroy(&aa[k]);
+    }
+done:
+    free(aa);
+    if (xa) {
+        for (int k = 0; k < n; ++k) ks_free(&xa[k]);
+        free(xa);
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* paired-end (spec: core/pair.py)                                     */
+/* ------------------------------------------------------------------ */
+
+typedef struct { int low, high, failed; double avg, std; } pes_t;
+
+/* mem_infer_dir (spec: core/pair.py:53-58) */
+static int mem_infer_dir(int64_t l_pac, int64_t b1, int64_t b2,
+                         int64_t *dist) {
+    int r1 = b1 >= l_pac, r2 = b2 >= l_pac;
+    int64_t p2 = (r1 == r2) ? b2 : (l_pac << 1) - 1 - b2;
+    *dist = p2 > b1 ? p2 - b1 : b1 - p2;
+    return ((r1 == r2) ? 0 : 1) ^ ((p2 > b1) ? 0 : 3);
+}
+
+static int raw_mapq(int diff, int a) {
+    return (int)(6.02 * diff / a + 0.499);
+}
+
+/* mem_matesw (spec: core/pair.py:148-219). Mutates ma; returns #SW done. */
+static int mem_matesw(const fin_t *f, scr_t *S, const pes_t *pes,
+                      const alnreg_t *a, int l_ms, const uint8_t *ms,
+                      regvec_t *ma) {
+    int64_t l_pac = f->l_pac;
+    int skip[4];
+    for (int r = 0; r < 4; ++r) skip[r] = pes[r].failed ? 1 : 0;
+    for (int i = 0; i < ma->n; ++i) {
+        int64_t dist;
+        int r = mem_infer_dir(l_pac, a->rb, ma->a[i].rb, &dist);
+        if (dist >= pes[r].low && dist <= pes[r].high) skip[r] = 1;
+    }
+    if (skip[0] + skip[1] + skip[2] + skip[3] == 4) return 0;
+    int n = 0;
+    uint8_t *seq_rev = 0;
+    for (int r = 0; r < 4; ++r) {
+        if (skip[r]) continue;
+        int is_rev = (r >> 1) != (r & 1);
+        int is_larger = !(r >> 1);
+        const uint8_t *seq;
+        if (is_rev) {
+            if (!seq_rev) {
+                seq_rev = SCR(S, mrev, uint8_t, (size_t)l_ms);
+                if (g_oom) return n;
+                for (int i = 0; i < l_ms; ++i) {
+                    uint8_t c = ms[l_ms - 1 - i];
+                    seq_rev[i] = c < 4 ? 3 - c : 4;
+                }
+            }
+            seq = seq_rev;
+        } else seq = ms;
+        int64_t rb, re;
+        if (!is_rev) {
+            rb = is_larger ? a->rb + pes[r].low : a->rb - pes[r].high;
+            re = (is_larger ? a->rb + pes[r].high : a->rb - pes[r].low) + l_ms;
+        } else {
+            rb = (is_larger ? a->rb + pes[r].low : a->rb - pes[r].high) - l_ms;
+            re = is_larger ? a->rb + pes[r].high : a->rb - pes[r].low;
+        }
+        if (rb < 0) rb = 0;
+        if (re > l_pac << 1) re = l_pac << 1;
+        int rid = -1;
+        int64_t rb2 = rb, re2 = re;
+        uint8_t *ref = 0;
+        if (rb < re) {
+            ref = SCR(S, rseq, uint8_t, (size_t)(re - rb));
+            if (g_oom) return n;
+            bns_fetch_seq(f, rb, (rb + re) >> 1, re, ref, &rid, &rb2, &re2);
+        }
+        if (a->rid == rid && re2 - rb2 >= f->min_seed_len) {
+            int xtra = KSW_XSUBO | KSW_XSTART
+                       | (l_ms * f->a < 250 ? KSW_XBYTE : 0)
+                       | (f->min_seed_len * f->a);
+            kswr_t aln = ksw_align2(S, seq, l_ms, ref, (int)(re2 - rb2),
+                                    f->mat, f->o_del, f->e_del, f->o_ins,
+                                    f->e_ins, xtra);
+            if (aln.score >= f->min_seed_len && aln.qb >= 0) {
+                alnreg_t b;
+                memset(&b, 0, sizeof b);
+                b.rid = a->rid;
+                b.is_alt = a->is_alt;
+                b.qb = is_rev ? l_ms - (aln.qe + 1) : aln.qb;
+                b.qe = is_rev ? l_ms - aln.qb : aln.qe + 1;
+                b.rb = is_rev ? (l_pac << 1) - (rb2 + aln.te + 1)
+                              : rb2 + aln.tb;
+                b.re = is_rev ? (l_pac << 1) - (rb2 + aln.tb)
+                              : rb2 + aln.te + 1;
+                b.score = aln.score;
+                b.csub = aln.score2;
+                b.secondary = -1;
+                int64_t c1 = b.re - b.rb, c2 = b.qe - b.qb;
+                b.seedcov = (int)((c1 < c2 ? c1 : c2) >> 1);
+                /* insertion sort into ma by score */
+                int ins = ma->n;
+                for (int i = 0; i < ma->n; ++i)
+                    if (ma->a[i].score < b.score) { ins = i; break; }
+                rv_insert(ma, ins, b);
+                if (g_oom) return n;
+            }
+            ++n;
+        }
+        if (n) mem_sort_dedup_patch(f, S, 0, 0, ma);
+    }
+    return n;
+}
+
+typedef struct { pair64_t *a; long n, m; } pvec_t;
+
+static void pv_push(pvec_t *v, uint64_t x, uint64_t y) {
+    if (v->n == v->m) {
+        long m = v->m ? v->m << 1 : 16;
+        pair64_t *p = (pair64_t *)realloc(v->a, (size_t)m * sizeof(pair64_t));
+        if (!p) { g_oom = 1; return; }
+        v->a = p; v->m = m;
+    }
+    v->a[v->n].x = x;
+    v->a[v->n].y = y;
+    ++v->n;
+}
+
+/* mem_pair (spec: core/pair.py:222-280) */
+static void mem_pair(const fin_t *f, const pes_t *pes, regvec_t *a,
+                     uint64_t id_, const int *n_pri, int *o_out, int *sub_out,
+                     int *n_sub_out, int z[2]) {
+    *o_out = *sub_out = *n_sub_out = 0;
+    int64_t l_pac = f->l_pac;
+    int nv = n_pri[0] + n_pri[1];
+    pair64_t *v = (pair64_t *)malloc((size_t)(nv ? nv : 1) * sizeof(pair64_t));
+    if (!v) { g_oom = 1; return; }
+    int cnt = 0;
+    for (int r = 0; r < 2; ++r)
+        for (int i = 0; i < n_pri[r]; ++i) {
+            const alnreg_t *e = &a[r].a[i];
+            uint64_t kx = e->rb < l_pac ? (uint64_t)e->rb
+                                        : (uint64_t)((l_pac << 1) - 1 - e->rb);
+            kx = ((uint64_t)(uint32_t)e->rid << 32)
+                 | (kx - (uint64_t)f->ann_off[e->rid]);
+            uint64_t ky = ((uint64_t)(uint32_t)e->score << 32)
+                          | ((uint64_t)i << 2)
+                          | ((e->rb >= l_pac ? 1ull : 0ull) << 1)
+                          | (uint64_t)r;
+            v[cnt].x = kx;
+            v[cnt].y = ky;
+            ++cnt;
+        }
+    pair64_sort(v, cnt);
+    long y4[4] = {-1, -1, -1, -1};
+    pvec_t u = {0, 0, 0};
+    for (int i = 0; i < cnt; ++i) {
+        for (int r = 0; r < 2; ++r) {
+            int dir_ = (r << 1) | (int)((v[i].y >> 1) & 1);
+            if (pes[dir_].failed) continue;
+            int which = (r << 1) | (((int)(v[i].y & 1)) ^ 1);
+            if (y4[which] < 0) continue;
+            for (long k = y4[which]; k >= 0; --k) {
+                if ((int)(v[k].y & 3) != which) continue;
+                int64_t dist = (int64_t)(v[i].x - v[k].x);
+                if (dist > pes[dir_].high) break;
+                if (dist < pes[dir_].low) continue;
+                double ns = (dist - pes[dir_].avg) / pes[dir_].std;
+                int q = (int)((double)(v[i].y >> 32) + (double)(v[k].y >> 32)
+                              + 0.721 * log(2.0 * erfc(fabs(ns) * M_SQRT1_2))
+                                * f->a + 0.499);
+                if (q < 0) q = 0;
+                uint64_t pair_y = ((uint64_t)k << 32) | (uint64_t)(uint32_t)i;
+                uint64_t pair_x = ((uint64_t)(uint32_t)q << 32)
+                                  | (hash_64(pair_y ^ (id_ << 8)) & 0xFFFFFFFFull);
+                pv_push(&u, pair_x, pair_y);
+                if (g_oom) { free(v); free(u.a); return; }
+            }
+        }
+        y4[v[i].y & 3] = i;
+    }
+    if (u.n) {
+        int tmp = f->a + f->b;
+        if (f->o_del + f->e_del > tmp) tmp = f->o_del + f->e_del;
+        if (f->o_ins + f->e_ins > tmp) tmp = f->o_ins + f->e_ins;
+        pair64_sort(u.a, u.n);
+        long i_ = (long)(u.a[u.n - 1].y >> 32);
+        long k_ = (long)(u.a[u.n - 1].y & 0xFFFFFFFFull);
+        z[(int)(v[i_].y & 1)] = (int)((v[i_].y & 0xFFFFFFFFull) >> 2);
+        z[(int)(v[k_].y & 1)] = (int)((v[k_].y & 0xFFFFFFFFull) >> 2);
+        *o_out = (int)(u.a[u.n - 1].x >> 32);
+        *sub_out = u.n > 1 ? (int)(u.a[u.n - 2].x >> 32) : 0;
+        int n_sub = 0;
+        for (long i = u.n - 2; i >= 0; --i)
+            if (*sub_out - (int)(u.a[i].x >> 32) <= tmp) ++n_sub;
+        *n_sub_out = n_sub;
+    }
+    free(v);
+    free(u.a);
+}
+
+/* mem_sam_pe (spec: core/pair.py:287-407): writes s[0].sam and s[1].sam */
+static int mem_sam_pe(const fin_t *f, scr_t *S, const pes_t *pes,
+                      uint64_t id_, read_t *s, regvec_t *a,
+                      const char *rg_id) {
+    int n = 0;
+    if (!(f->flag & MEM_F_NO_RESCUE)) {
+        regvec_t b[2] = {{0, 0, 0}, {0, 0, 0}};
+        /* candidate lists are value copies taken up front (kv_push-by-value
+         * semantics; rescue mutations of a[] never touch rb/rid/is_alt of
+         * listed entries, so this matches the Python spec's aliased lists) */
+        for (int i = 0; i < 2; ++i)
+            for (int j = 0; j < a[i].n; ++j)
+                if (a[i].a[j].score >= a[i].a[0].score - f->pen_unpaired)
+                    rv_push(&b[i], a[i].a[j]);
+        for (int i = 0; i < 2 && !g_oom; ++i) {
+            int lim = b[i].n < f->max_matesw ? b[i].n : f->max_matesw;
+            for (int j = 0; j < lim; ++j)
+                n += mem_matesw(f, S, pes, &b[i].a[j], s[1 - i].l_seq,
+                                s[1 - i].seq, &a[1 - i]);
+        }
+        free(b[0].a);
+        free(b[1].a);
+        if (g_oom) return n;
+    }
+    int n_pri[2];
+    n_pri[0] = mem_mark_primary_se(f, &a[0], (id_ << 1) | 0, S);
+    n_pri[1] = mem_mark_primary_se(f, &a[1], (id_ << 1) | 1, S);
+    if (f->flag & MEM_F_PRIMARY5) {
+        mem_reorder_primary5(f->T, &a[0]);
+        mem_reorder_primary5(f->T, &a[1]);
+    }
+    if (!(f->flag & MEM_F_NOPAIRING)) {
+        int o = 0, sub = 0, n_sub = 0;
+        int z[2] = {-1, -1};
+        if (n_pri[0] && n_pri[1])
+            mem_pair(f, pes, a, id_, n_pri, &o, &sub, &n_sub, z);
+        if (n_pri[0] && n_pri[1] && o > 0) {
+            int is_multi[2];
+            for (int i = 0; i < 2; ++i) {
+                int found = 0;
+                for (int j = 1; j < n_pri[i]; ++j)
+                    if (a[i].a[j].secondary < 0 && a[i].a[j].score >= f->T) {
+                        found = 1;
+                        break;
+                    }
+                is_multi[i] = found;
+            }
+            if (!(is_multi[0] || is_multi[1])) {
+                int extra_flag = 1;
+                int score_un = a[0].a[0].score + a[1].a[0].score
+                               - f->pen_unpaired;
+                if (score_un > sub) sub = score_un;
+                int q_pe = raw_mapq(o - sub, f->a);
+                if (n_sub > 0)
+                    q_pe -= (int)(4.343 * log(n_sub + 1.0) + 0.499);
+                if (q_pe < 0) q_pe = 0;
+                if (q_pe > 60) q_pe = 60;
+                q_pe = (int)(q_pe * (1.0 - 0.5 * (a[0].a[0].frac_rep
+                                                  + a[1].a[0].frac_rep))
+                             + 0.499);
+                int q_se[2];
+                if (o > score_un) { /* paired alignment preferred */
+                    alnreg_t *c[2] = {&a[0].a[z[0]], &a[1].a[z[1]]};
+                    for (int i = 0; i < 2; ++i) {
+                        if (c[i]->secondary >= 0) {
+                            c[i]->sub = a[i].a[c[i]->secondary].score;
+                            c[i]->secondary = -2;
+                        }
+                        q_se[i] = mem_approx_mapq_se(f, c[i]);
+                    }
+                    for (int i = 0; i < 2; ++i)
+                        if (q_se[i] < q_pe)
+                            q_se[i] = q_pe < q_se[i] + 40 ? q_pe
+                                                          : q_se[i] + 40;
+                    extra_flag |= 2;
+                    int r0 = raw_mapq(c[0]->score - c[0]->csub, f->a);
+                    if (q_se[0] > r0) q_se[0] = r0;
+                    int r1 = raw_mapq(c[1]->score - c[1]->csub, f->a);
+                    if (q_se[1] > r1) q_se[1] = r1;
+                } else {
+                    z[0] = z[1] = 0;
+                    q_se[0] = mem_approx_mapq_se(f, &a[0].a[0]);
+                    q_se[1] = mem_approx_mapq_se(f, &a[1].a[0]);
+                }
+                /* switch secondary and primary if both non-ALT */
+                for (int i = 0; i < 2; ++i) {
+                    int k = a[i].a[z[i]].secondary_all;
+                    if (k >= 0 && k < n_pri[i]) {
+                        for (int j = 0; j < a[i].n; ++j)
+                            if (a[i].a[j].secondary_all == k || j == k)
+                                a[i].a[j].secondary_all = z[i];
+                        a[i].a[z[i]].secondary_all = -1;
+                    }
+                }
+                ks_t *xa[2] = {0, 0};
+                int have_xa[2] = {0, 0};
+                if (!(f->flag & MEM_F_ALL)) {
+                    for (int i = 0; i < 2; ++i) {
+                        xa[i] = (ks_t *)calloc((size_t)a[i].n, sizeof(ks_t));
+                        if (!xa[i]) { g_oom = 1; return n; }
+                        have_xa[i] = mem_gen_alt(f, S, &a[i], s[i].l_seq,
+                                                 s[i].seq, xa[i]);
+                    }
+                }
+                aln_t h[2];
+                aln_t aa[2][2];
+                int naa[2] = {0, 0};
+                for (int i = 0; i < 2; ++i) {
+                    mem_reg2aln(f, S, &h[i], s[i].seq, s[i].l_seq,
+                                &a[i].a[z[i]]);
+                    h[i].mapq = q_se[i];
+                    h[i].flag |= (0x40 << i) | extra_flag;
+                    h[i].XA = (have_xa[i] && xa[i][z[i]].l) ? xa[i][z[i]].s
+                                                            : 0;
+                    aa[i][naa[i]++] = h[i];
+                    if (n_pri[i] < a[i].n) {
+                        const alnreg_t *p = &a[i].a[n_pri[i]];
+                        if (!(p->score < f->T || p->secondary >= 0
+                              || !p->is_alt)) {
+                            aln_t g;
+                            mem_reg2aln(f, S, &g, s[i].seq, s[i].l_seq, p);
+                            g.flag |= 0x800 | (0x40 << i) | extra_flag;
+                            g.XA = (have_xa[i] && xa[i][n_pri[i]].l)
+                                   ? xa[i][n_pri[i]].s : 0;
+                            aa[i][naa[i]++] = g;
+                        }
+                    }
+                }
+                for (int k = 0; k < naa[0]; ++k)
+                    mem_aln2sam(f, &s[0], naa[0], aa[0], k, &h[1], rg_id);
+                for (int k = 0; k < naa[1]; ++k)
+                    mem_aln2sam(f, &s[1], naa[1], aa[1], k, &h[0], rg_id);
+                for (int i = 0; i < 2; ++i) {
+                    /* aa[i][0] holds h[i]'s buffers: destroy via aa only */
+                    for (int k = 0; k < naa[i]; ++k) aln_destroy(&aa[i][k]);
+                    if (xa[i]) {
+                        for (int j = 0; j < a[i].n; ++j) ks_free(&xa[i][j]);
+                        free(xa[i]);
+                    }
+                }
+                return n;
+            }
+        }
+    }
+    /* no_pairing */
+    {
+        int extra_flag = 1;
+        aln_t h[2];
+        for (int i = 0; i < 2; ++i) {
+            int which = -1;
+            if (a[i].n) {
+                if (a[i].a[0].score >= f->T) which = 0;
+                else if (n_pri[i] < a[i].n
+                         && a[i].a[n_pri[i]].score >= f->T)
+                    which = n_pri[i];
+            }
+            mem_reg2aln(f, S, &h[i], s[i].seq, s[i].l_seq,
+                        which >= 0 ? &a[i].a[which] : 0);
+        }
+        if (!(f->flag & MEM_F_NOPAIRING) && h[0].rid == h[1].rid
+            && h[1].rid >= 0) {
+            int64_t dist;
+            int d = mem_infer_dir(f->l_pac, a[0].a[0].rb, a[1].a[0].rb,
+                                  &dist);
+            if (!pes[d].failed && dist >= pes[d].low && dist <= pes[d].high)
+                extra_flag |= 2;
+        }
+        mem_reg2sam(f, S, &s[0], &a[0], 0x41 | extra_flag, &h[1], rg_id);
+        mem_reg2sam(f, S, &s[1], &a[1], 0x81 | extra_flag, &h[0], rg_id);
+        aln_destroy(&h[0]);
+        aln_destroy(&h[1]);
+        return n;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* public API                                                          */
+/* ------------------------------------------------------------------ */
+
+EXPORT void *fin_ctx_new(const uint8_t *ref, int64_t l_pac, int32_t n_seqs,
+                         const int64_t *ann_off, const int64_t *ann_len,
+                         const uint8_t *ann_is_alt, const char *names,
+                         const int64_t *name_off, const char *annos,
+                         const int64_t *anno_off, const int32_t *oi,
+                         const double *of, const int8_t *mat) {
+    fin_t *f = (fin_t *)calloc(1, sizeof(fin_t));
+    if (!f) return 0;
+    int k = 0;
+    f->a = oi[k++]; f->b = oi[k++];
+    f->o_del = oi[k++]; f->e_del = oi[k++];
+    f->o_ins = oi[k++]; f->e_ins = oi[k++];
+    f->pen_clip5 = oi[k++]; f->pen_clip3 = oi[k++];
+    f->pen_unpaired = oi[k++];
+    f->w = oi[k++]; f->zdrop = oi[k++]; f->T = oi[k++];
+    f->flag = oi[k++]; f->min_seed_len = oi[k++];
+    f->max_matesw = oi[k++]; f->max_XA_hits = oi[k++];
+    f->max_XA_hits_alt = oi[k++]; f->max_chain_gap = oi[k++];
+    f->mapQ_coef_fac = oi[k++];
+    f->mask_level = of[0]; f->drop_ratio = of[1];
+    f->XA_drop_ratio = of[2]; f->mask_level_redun = of[3];
+    f->mapQ_coef_len = of[4];
+    memcpy(f->mat, mat, 25);
+    f->ref = ref; f->l_pac = l_pac; f->n_seqs = n_seqs;
+    f->ann_off = ann_off; f->ann_len = ann_len; f->ann_is_alt = ann_is_alt;
+    f->names = names; f->name_off = name_off;
+    f->annos = annos; f->anno_off = anno_off;
+    return f;
+}
+
+EXPORT void fin_ctx_free(void *ctx) { free(ctx); }
+
+EXPORT void fin_buf_free(char *p) { free(p); }
+
+/* mode: 0 = SE, 1 = PE. n_processed: SE -> id base per read; PE -> pair-id
+ * base (caller passes n_processed>>1). Returns 0 and sets *out_blob
+ * (malloc'd, fin_buf_free) + out_offsets[n_reads+1]; nonzero on failure
+ * (caller falls back to the Python path). */
+EXPORT int fin_batch(void *ctx, int mode, int64_t n_reads,
+                     const uint8_t *seqs, const int64_t *seq_off,
+                     const char *quals, const int64_t *qual_off,
+                     const char *names, const int64_t *name_off,
+                     const char *comments, const int64_t *com_off,
+                     alnreg_t *regs, const int64_t *reg_off,
+                     int64_t n_processed, const char *rg_id,
+                     const int32_t *pes_i, const double *pes_f,
+                     char **out_blob, int64_t *out_offsets) {
+    fin_t *f = (fin_t *)ctx;
+    g_oom = 0;
+    scr_t S;
+    memset(&S, 0, sizeof S);
+    ks_t *sams = (ks_t *)calloc((size_t)n_reads, sizeof(ks_t));
+    if (!sams) return -1;
+    if (!rg_id) rg_id = "";
+    int rc = 0;
+
+    if (mode == 0) { /* single-end */
+        for (int64_t i = 0; i < n_reads && !g_oom; ++i) {
+            read_t s;
+            s.seq = seqs + seq_off[i];
+            s.l_seq = (int)(seq_off[i + 1] - seq_off[i]);
+            s.qual = quals + qual_off[i];
+            s.l_qual = (int)(qual_off[i + 1] - qual_off[i]);
+            s.name = names + name_off[i];
+            s.l_name = (int)(name_off[i + 1] - name_off[i]);
+            s.comment = comments + com_off[i];
+            s.l_comment = (int)(com_off[i + 1] - com_off[i]);
+            s.sam = sams[i];
+            regvec_t v; /* in-place view: SE never grows the vector */
+            v.a = regs + reg_off[i];
+            v.n = v.m = (int)(reg_off[i + 1] - reg_off[i]);
+            mem_mark_primary_se(f, &v, (uint64_t)(n_processed + i), &S);
+            if (f->flag & MEM_F_PRIMARY5) mem_reorder_primary5(f->T, &v);
+            mem_reg2sam(f, &S, &s, &v, 0, 0, rg_id);
+            sams[i] = s.sam;
+        }
+    } else { /* paired-end */
+        pes_t pes[4];
+        for (int r = 0; r < 4; ++r) {
+            pes[r].low = pes_i[r * 3 + 0];
+            pes[r].high = pes_i[r * 3 + 1];
+            pes[r].failed = pes_i[r * 3 + 2];
+            pes[r].avg = pes_f[r * 2 + 0];
+            pes[r].std = pes_f[r * 2 + 1];
+        }
+        for (int64_t pi = 0; pi < n_reads >> 1 && !g_oom; ++pi) {
+            read_t s[2];
+            regvec_t a[2] = {{0, 0, 0}, {0, 0, 0}};
+            for (int e = 0; e < 2; ++e) {
+                int64_t i = (pi << 1) | e;
+                s[e].seq = seqs + seq_off[i];
+                s[e].l_seq = (int)(seq_off[i + 1] - seq_off[i]);
+                s[e].qual = quals + qual_off[i];
+                s[e].l_qual = (int)(qual_off[i + 1] - qual_off[i]);
+                s[e].name = names + name_off[i];
+                s[e].l_name = (int)(name_off[i + 1] - name_off[i]);
+                s[e].comment = comments + com_off[i];
+                s[e].l_comment = (int)(com_off[i + 1] - com_off[i]);
+                s[e].sam = sams[i];
+                int nr = (int)(reg_off[i + 1] - reg_off[i]);
+                for (int j = 0; j < nr; ++j)
+                    rv_push(&a[e], regs[reg_off[i] + j]);
+            }
+            if (!g_oom)
+                mem_sam_pe(f, &S, pes, (uint64_t)(n_processed + pi), s, a,
+                           rg_id);
+            sams[pi << 1] = s[0].sam;
+            sams[(pi << 1) | 1] = s[1].sam;
+            free(a[0].a);
+            free(a[1].a);
+        }
+    }
+
+    if (g_oom) rc = -1;
+    if (rc == 0) {
+        size_t total = 0;
+        for (int64_t i = 0; i < n_reads; ++i) {
+            out_offsets[i] = (int64_t)total;
+            total += sams[i].l;
+        }
+        out_offsets[n_reads] = (int64_t)total;
+        char *blob = (char *)malloc(total ? total : 1);
+        if (!blob) rc = -1;
+        else {
+            for (int64_t i = 0; i < n_reads; ++i)
+                memcpy(blob + out_offsets[i], sams[i].s ? sams[i].s : "",
+                       sams[i].l);
+            *out_blob = blob;
+        }
+    }
+    for (int64_t i = 0; i < n_reads; ++i) ks_free(&sams[i]);
+    free(sams);
+    scr_destroy(&S);
+    return rc;
+}
+
+/* ------------------------------------------------------------------ */
+/* differential-test hooks                                             */
+/* ------------------------------------------------------------------ */
+
+EXPORT int fin_test_global(const uint8_t *q, int qlen, const uint8_t *t,
+                           int tlen, const int8_t *mat, int o_del, int e_del,
+                           int o_ins, int e_ins, int w, int want_cigar,
+                           int32_t *score, uint32_t *cig_out,
+                           int32_t *ncig_inout) {
+    scr_t S;
+    memset(&S, 0, sizeof S);
+    g_oom = 0;
+    uint32_t *cig = 0;
+    int ncig = 0;
+    *score = ksw_global2(&S, q, qlen, t, tlen, mat, o_del, e_del, o_ins,
+                         e_ins, w, want_cigar, &cig, &ncig);
+    int rc = 0;
+    if (want_cigar) {
+        if (ncig > *ncig_inout) rc = -2;
+        else {
+            memcpy(cig_out, cig, (size_t)ncig * 4);
+            *ncig_inout = ncig;
+        }
+    }
+    scr_destroy(&S);
+    return g_oom ? -1 : rc;
+}
+
+EXPORT int fin_test_align2(const uint8_t *q, int qlen, const uint8_t *t,
+                           int tlen, const int8_t *mat, int o_del, int e_del,
+                           int o_ins, int e_ins, int xtra, int32_t *out7) {
+    scr_t S;
+    memset(&S, 0, sizeof S);
+    g_oom = 0;
+    kswr_t r = ksw_align2(&S, q, qlen, t, tlen, mat, o_del, e_del, o_ins,
+                          e_ins, xtra);
+    out7[0] = r.score; out7[1] = r.te; out7[2] = r.qe; out7[3] = r.qb;
+    out7[4] = r.tb; out7[5] = r.score2; out7[6] = r.te2;
+    scr_destroy(&S);
+    return g_oom ? -1 : 0;
+}

@@ -40,15 +40,16 @@ typedef struct {
     int dead;
 } Read;
 
-typedef struct { char *p; size_t len, cap; } Buf;
+typedef struct { char *p; size_t len, cap; int err; } Buf;
 
 static void buf_grow(Buf *b, size_t need) {
     if (b->len + need + 1 > b->cap) {
         size_t cap = (b->cap ? b->cap * 2 : 4096);
         while (b->len + need + 1 > cap) cap *= 2;
         char *p = realloc(b->p, cap);
-        if (!p) { /* OOM: keep old buffer; caller sees truncated output */
-            abort();
+        if (!p) { /* OOM: keep old buffer; caller falls back to Python */
+            b->err = 1;
+            return;
         }
         b->p = p;
         b->cap = cap;
@@ -57,6 +58,7 @@ static void buf_grow(Buf *b, size_t need) {
 
 static void buf_put(Buf *b, const char *s, size_t n) {
     buf_grow(b, n);
+    if (b->err) return;
     memcpy(b->p + b->len, s, n);
     b->len += n;
 }
@@ -350,8 +352,10 @@ int mpibwa_fixmate_pair(const char *sam1, int len1, const char *sam2,
     }
 #undef PAIR_TAKE
 
-    buf_grow(&o1, 1); o1.p[o1.len] = 0;
-    buf_grow(&o2, 1); o2.p[o2.len] = 0;
+    buf_grow(&o1, 1); buf_grow(&o2, 1);
+    if (o1.err || o2.err || !o1.p || !o2.p) goto malformed;
+    o1.p[o1.len] = 0;
+    o2.p[o2.len] = 0;
     *out1 = o1.p; *out1_len = (int)o1.len;
     *out2 = o2.p; *out2_len = (int)o2.len;
     return 0;

@@ -216,8 +216,13 @@ def extend_batch(qs: jnp.ndarray, ts: jnp.ndarray, qlens: jnp.ndarray,
 def extend_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
                        T: int, params: jnp.ndarray, o_del: int, e_del: int,
                        o_ins: int, e_ins: int, ab=None, mat: jnp.ndarray = None
-                       ) -> ExtendOut:
+                       ):
     """Build extension problems on device from coordinates and run the DP.
+
+    Returns an ExtendOut of (B,) arrays when ab is None (XLA while-loop
+    kernel); with ab set (Pallas path) it returns ONE packed (8, B) int32
+    array — rows (score, qle, tle, gtle, gscore, max_off, 0, 0) — so the
+    caller pays a single device->host pull (transpose to recover columns).
 
     qd: (NR, L) uint8 read batch (device-resident); coords: (B, 6) int32
     columns (row, q_off, q_len, q_rev, r_start, t_len) where the query is

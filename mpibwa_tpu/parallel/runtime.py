@@ -198,9 +198,20 @@ class Runtime:
         trimmed PE / SE), and compute deterministic chunks
         (mainParallel.c's three branches)."""
         t0 = time.time()
-        idx1 = scan_fastq(r1_path)
+
+        def scan(path):
+            # multi-shard runs scan cooperatively (each shard ~1/N of the
+            # bytes, stripes exchanged through a filesystem rendezvous)
+            if (self.n_shards > 1
+                    and os.environ.get("MPIBWA_SHARD_SCAN", "1") != "0"):
+                from mpibwa_tpu.io.fastq import scan_fastq_sharded
+
+                return scan_fastq_sharded(path, self.shard, self.n_shards)
+            return scan_fastq(path)
+
+        idx1 = scan(r1_path)
         if r2_path:
-            idx2 = scan_fastq(r2_path)
+            idx2 = scan(r2_path)
             if len(idx1) != len(idx2):
                 raise ValueError(
                     f"[E::plan] paired inputs hold different read counts: "

@@ -97,6 +97,16 @@ class DeviceAligner:
 
             if jax.default_backend() != "cpu":
                 self.ext_ab = standard_mat_ab(opt.mat)
+        self._finalizer = None
+        self._skip_cigar_precompute = False
+
+    def _native_finalizer(self):
+        """Native (C) finalization runtime, or None -> exact Python path."""
+        if self._finalizer is None:
+            from mpibwa_tpu.pipeline.native_final import NativeFinalizer
+
+            self._finalizer = NativeFinalizer(self.refs, self.opt)
+        return self._finalizer if self._finalizer.available else None
 
     # -- phase 2: SA resolution ---------------------------------------------
 
@@ -213,24 +223,48 @@ class DeviceAligner:
                              (b, 0, s.qbeg, 1, s.rbeg, tmp)))
 
         def run_band_tries(jobs, eb):
-            """jobs: (key_q, key_t, h0, coords). Exact MAX_BAND_TRY loop."""
+            """jobs: (key_q, key_t, h0, coords). Exact MAX_BAND_TRY loop.
+
+            Problems beyond the bucket ladder (qlen > Q cap or tlen > T cap,
+            e.g. long reads under -x ont2d) run the exact scalar kernel
+            instead of a truncated device DP — never a silently clipped
+            shape (the cigar precompute guards the same way)."""
             if not jobs:
                 return [], {}
-            coords = [j[3] for j in jobs]
-            maxq = max(c[2] for c in coords)
-            maxt = max(max(c[5] for c in coords), 1)
-            params = [(opt.w, eb, opt.zdrop, j[2]) for j in jobs]
-            r0 = self._ext_coords_run(coords, params, maxq, maxt)
-            retry_idx = [i for i, r in enumerate(r0)
-                         if not (r[5] < (opt.w >> 1) + (opt.w >> 2))]
+            qcap, tcap = self.Q_BUCKETS[-1], self.T_BUCKETS[-1]
+            small = [i for i, j in enumerate(jobs)
+                     if j[3][2] <= qcap and j[3][5] <= tcap]
+            r0_all = [None] * len(jobs)
             r1map = {}
-            if retry_idx:
-                params1 = [(opt.w << 1, eb, opt.zdrop, jobs[i][2])
-                           for i in retry_idx]
-                r1 = self._ext_coords_run([coords[i] for i in retry_idx],
-                                          params1, maxq, maxt)
-                r1map = dict(zip(retry_idx, r1))
-            return r0, r1map
+            if small:
+                coords = [jobs[i][3] for i in small]
+                maxq = max(c[2] for c in coords)
+                maxt = max(max(c[5] for c in coords), 1)
+                params = [(opt.w, eb, opt.zdrop, jobs[i][2]) for i in small]
+                r0 = self._ext_coords_run(coords, params, maxq, maxt)
+                for i, r in zip(small, r0):
+                    r0_all[i] = r
+                retry_idx = [i for i, r in zip(small, r0)
+                             if not (r[5] < (opt.w >> 1) + (opt.w >> 2))]
+                if retry_idx:
+                    params1 = [(opt.w << 1, eb, opt.zdrop, jobs[i][2])
+                               for i in retry_idx]
+                    r1 = self._ext_coords_run(
+                        [jobs[i][3] for i in retry_idx], params1, maxq, maxt)
+                    r1map = dict(zip(retry_idx, r1))
+            for i, j in enumerate(jobs):
+                if r0_all[i] is not None:
+                    continue
+                qs = np.frombuffer(j[0], np.uint8)
+                ts = np.frombuffer(j[1], np.uint8)
+                r0_all[i] = ksw_extend2(qs, ts, opt.mat, opt.o_del,
+                                        opt.e_del, opt.o_ins, opt.e_ins,
+                                        opt.w, eb, opt.zdrop, j[2])
+                if not (r0_all[i][5] < (opt.w >> 1) + (opt.w >> 2)):
+                    r1map[i] = ksw_extend2(qs, ts, opt.mat, opt.o_del,
+                                           opt.e_del, opt.o_ins, opt.e_ins,
+                                           opt.w << 1, eb, opt.zdrop, j[2])
+            return r0_all, r1map
 
         left_r0, left_r1 = run_band_tries(left_jobs, opt.pen_clip5)
         li = 0
@@ -354,12 +388,14 @@ class DeviceAligner:
             regs_all.append(regs)
         t["final"] = t.get("final", 0) + _time.time() - t0
         self.stats["ext_misses"] += cache.misses
-        # cigar precompute must use THIS microbatch's device rows (self._qd)
-        t0 = _time.time()
-        cc = precompute_cigars(self.opt, self.refs, [s.seq for s in seqs],
-                               regs_all, self.dfm, self._qd, self.mat55d)
-        self._pending_cigar_cache.update(cc)
-        t["cigar"] = t.get("cigar", 0) + _time.time() - t0
+        # cigar precompute must use THIS microbatch's device rows (self._qd);
+        # skipped when the native finalization runtime computes CIGARs itself
+        if not self._skip_cigar_precompute:
+            t0 = _time.time()
+            cc = precompute_cigars(self.opt, self.refs, [s.seq for s in seqs],
+                                   regs_all, self.dfm, self._qd, self.mat55d)
+            self._pending_cigar_cache.update(cc)
+            t["cigar"] = t.get("cigar", 0) + _time.time() - t0
         return regs_all
 
     def process_seqs(self, seqs: List[BSeq], n_processed: int = 0,
@@ -369,8 +405,13 @@ class DeviceAligner:
         opt, refs = self.opt, self.refs
         import time as _time
 
+        fin = self._native_finalizer()
         self._pending_cigar_cache = {}
-        regs_all = self.align_regs(seqs)
+        self._skip_cigar_precompute = fin is not None
+        try:
+            regs_all = self.align_regs(seqs)
+        finally:
+            self._skip_cigar_precompute = False
         t = self.stats.setdefault("t", {})
         set_cigar_cache(self._pending_cigar_cache)
         t0 = _time.time()
@@ -381,23 +422,29 @@ class DeviceAligner:
 
             pes = pes0 if pes0 is not None else mem_pestat(opt, refs.l_pac,
                                                            regs_all)
-            t0 = _time.time()
-            sw_cache = precompute_rescue(opt, refs, self.dfm, seqs, regs_all,
-                                         pes)
-            t["rescue"] = t.get("rescue", 0) + _time.time() - t0
-            set_sw_cache(sw_cache)
-            for i in range(n >> 1):
-                mem_sam_pe(opt, refs, pes, (n_processed >> 1) + i,
-                           seqs[i << 1 : (i << 1) + 2],
-                           regs_all[i << 1 : (i << 1) + 2], rg_id)
-            set_sw_cache(None)
+            if not (fin is not None
+                    and fin.finalize(seqs, regs_all, True, n_processed >> 1,
+                                     rg_id, pes)):
+                t0 = _time.time()
+                sw_cache = precompute_rescue(opt, refs, self.dfm, seqs,
+                                             regs_all, pes)
+                t["rescue"] = t.get("rescue", 0) + _time.time() - t0
+                set_sw_cache(sw_cache)
+                for i in range(n >> 1):
+                    mem_sam_pe(opt, refs, pes, (n_processed >> 1) + i,
+                               seqs[i << 1 : (i << 1) + 2],
+                               regs_all[i << 1 : (i << 1) + 2], rg_id)
+                set_sw_cache(None)
         else:
-            for i, s in enumerate(seqs):
-                regs = regs_all[i]
-                mem_mark_primary_se(opt, regs, n_processed + i)
-                if opt.flag & O.MEM_F_PRIMARY5:
-                    mem_reorder_primary5(opt.T, regs)
-                s.sam = mem_reg2sam(opt, refs, s, regs, 0, None, rg_id)
+            if not (fin is not None
+                    and fin.finalize(seqs, regs_all, False, n_processed,
+                                     rg_id)):
+                for i, s in enumerate(seqs):
+                    regs = regs_all[i]
+                    mem_mark_primary_se(opt, regs, n_processed + i)
+                    if opt.flag & O.MEM_F_PRIMARY5:
+                        mem_reorder_primary5(opt.T, regs)
+                    s.sam = mem_reg2sam(opt, refs, s, regs, 0, None, rg_id)
         set_cigar_cache(None)
         t["emit"] = t.get("emit", 0) + _time.time() - t0
 

@@ -369,6 +369,8 @@ class DeviceSeeder:
             s3 = packed3[:, 2 : 2 + 3 * S3].reshape(B, S3, 3)
             i3 = packed3[:, 2 + 3 * S3 :]
             for b in range(B):
+                if fallback[b]:
+                    continue  # overflowed rows (n3 > capacity) go scalar
                 for j in range(n3[b]):
                     pass3_out[b].append((int(s3[b, j, 0]), int(s3[b, j, 1]),
                                          int(s3[b, j, 2]), int(i3[b, j])))

@@ -1,0 +1,210 @@
+"""ctypes marshaling for the native finalization runtime (native/finalize.c).
+
+The C library implements the exact post-region finalization — dedup/primary
+marking, mapQ, PE pairing + mate rescue SW, CIGAR/MD/NM and SAM text
+(semantics of bwamem.c:437-558/792-1049, bwamem_pair.c:111-393, bwa.c:120-208,
+ksw.c:111-365/504-606, as specified by this repo's exact Python modules
+core/{region,sam,pair,cigar,extend}.py) — over flat arrays, releasing the
+GIL for the whole batch so pipelined aligner workers overlap host
+finalization with device compute on real cores.
+
+Any failure (missing compiler, OOM inside the library) degrades to the
+Python path: finalize() returns False and the caller runs the exact Python
+finalization instead, so bit-exactness never depends on this module.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import List, Optional
+
+import numpy as np
+
+REG_DTYPE = np.dtype([
+    ("rb", "<i8"), ("re", "<i8"),
+    ("qb", "<i4"), ("qe", "<i4"), ("rid", "<i4"), ("score", "<i4"),
+    ("truesc", "<i4"), ("sub", "<i4"), ("alt_sc", "<i4"), ("csub", "<i4"),
+    ("sub_n", "<i4"), ("w", "<i4"), ("seedcov", "<i4"), ("secondary", "<i4"),
+    ("secondary_all", "<i4"), ("seedlen0", "<i4"), ("n_comp", "<i4"),
+    ("is_alt", "<i4"), ("hash", "<u8"), ("frac_rep", "<f8")])
+assert REG_DTYPE.itemsize == 96  # must match alnreg_t in finalize.c
+
+OPT_INT_FIELDS = ("a", "b", "o_del", "e_del", "o_ins", "e_ins", "pen_clip5",
+                  "pen_clip3", "pen_unpaired", "w", "zdrop", "T", "flag",
+                  "min_seed_len", "max_matesw", "max_XA_hits",
+                  "max_XA_hits_alt", "max_chain_gap", "mapQ_coef_fac")
+OPT_FLT_FIELDS = ("mask_level", "drop_ratio", "XA_drop_ratio",
+                  "mask_level_redun", "mapQ_coef_len")
+
+_U64 = (1 << 64) - 1
+
+
+def _vp(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.c_void_p)
+
+
+class NativeFinalizer:
+    """One per aligner; rebuilds its C context if opt fields change."""
+
+    def __init__(self, refs, opt):
+        self.refs = refs
+        self.opt = opt
+        self.lib = None
+        self.ctx = None
+        self._snap = None
+        self._keep: list = []
+        if os.environ.get("MPIBWA_FINAL", "native") != "native":
+            return
+        from mpibwa_tpu import native
+
+        self.lib = native.get_lib()
+
+    @property
+    def available(self) -> bool:
+        return self.lib is not None
+
+    def _opt_snapshot(self):
+        o = self.opt
+        return (tuple(getattr(o, f) for f in OPT_INT_FIELDS)
+                + tuple(getattr(o, f) for f in OPT_FLT_FIELDS)
+                + (o.mat.tobytes(),))
+
+    def _ensure_ctx(self) -> bool:
+        if self.lib is None:
+            return False
+        snap = self._opt_snapshot()
+        if self.ctx is not None and snap == self._snap:
+            return True
+        if self.ctx is not None:
+            self.lib.fin_ctx_free(self.ctx)
+            self.ctx = None
+        refs, o = self.refs, self.opt
+        keep = []
+        ref = np.ascontiguousarray(refs.ref, dtype=np.uint8)
+        n = len(refs.anns)
+        ann_off = np.array([a.offset for a in refs.anns], np.int64)
+        ann_len = np.array([a.length for a in refs.anns], np.int64)
+        ann_alt = np.array([a.is_alt for a in refs.anns], np.uint8)
+        name_parts, name_off = [], np.zeros(n, np.int64)
+        anno_parts, anno_off = [], np.zeros(n, np.int64)
+        np_pos = an_pos = 0
+        for i, a in enumerate(refs.anns):
+            b = a.name.encode() + b"\0"
+            name_off[i] = np_pos
+            name_parts.append(b)
+            np_pos += len(b)
+            b = (a.anno or "").encode() + b"\0"
+            anno_off[i] = an_pos
+            anno_parts.append(b)
+            an_pos += len(b)
+        names = np.frombuffer(b"".join(name_parts), np.uint8)
+        annos = np.frombuffer(b"".join(anno_parts), np.uint8)
+        oi = np.array([getattr(o, f) for f in OPT_INT_FIELDS], np.int32)
+        of = np.array([getattr(o, f) for f in OPT_FLT_FIELDS], np.float64)
+        mat = np.ascontiguousarray(o.mat, dtype=np.int8)
+        keep += [ref, ann_off, ann_len, ann_alt, names, anno_off, name_off,
+                 annos, oi, of, mat]
+        ctx = self.lib.fin_ctx_new(
+            _vp(ref), ctypes.c_int64(refs.l_pac), ctypes.c_int32(n),
+            _vp(ann_off), _vp(ann_len), _vp(ann_alt), _vp(names),
+            _vp(name_off), _vp(annos), _vp(anno_off), _vp(oi), _vp(of),
+            _vp(mat))
+        if not ctx:
+            return False
+        self.ctx = ctx
+        self._snap = snap
+        self._keep = keep
+        return True
+
+    def __del__(self):
+        try:
+            if self.ctx is not None and self.lib is not None:
+                self.lib.fin_ctx_free(self.ctx)
+        except Exception:
+            pass
+
+    # -- batch packing -------------------------------------------------------
+
+    @staticmethod
+    def _pack_blobs(seqs):
+        n = len(seqs)
+        seq_off = np.zeros(n + 1, np.int64)
+        qual_off = np.zeros(n + 1, np.int64)
+        name_off = np.zeros(n + 1, np.int64)
+        com_off = np.zeros(n + 1, np.int64)
+        quals, names, coms = [], [], []
+        t = 0
+        for i, s in enumerate(seqs):
+            t += len(s.seq)
+            seq_off[i + 1] = t
+            q = s.qual or ""
+            quals.append(q)
+            qual_off[i + 1] = qual_off[i] + len(q)
+            names.append(s.name)
+            name_off[i + 1] = name_off[i] + len(s.name.encode())
+            c = s.comment or ""
+            coms.append(c)
+            com_off[i + 1] = com_off[i] + len(c.encode())
+        seq_blob = (np.concatenate([s.seq for s in seqs])
+                    if n else np.zeros(0, np.uint8))
+        seq_blob = np.ascontiguousarray(seq_blob, dtype=np.uint8)
+        qual_blob = np.frombuffer(("".join(quals)).encode() + b"\0", np.uint8)
+        name_blob = np.frombuffer(("".join(names)).encode() + b"\0", np.uint8)
+        com_blob = np.frombuffer(("".join(coms)).encode() + b"\0", np.uint8)
+        return (seq_blob, seq_off, qual_blob, qual_off, name_blob, name_off,
+                com_blob, com_off)
+
+    @staticmethod
+    def _pack_regs(regs_all):
+        off = np.zeros(len(regs_all) + 1, np.int64)
+        t = 0
+        for i, regs in enumerate(regs_all):
+            t += len(regs)
+            off[i + 1] = t
+        rows = [(r.rb, r.re, r.qb, r.qe, r.rid, r.score, r.truesc, r.sub,
+                 r.alt_sc, r.csub, r.sub_n, r.w, r.seedcov, r.secondary,
+                 r.secondary_all, r.seedlen0, r.n_comp, r.is_alt,
+                 r.hash & _U64, r.frac_rep)
+                for regs in regs_all for r in regs]
+        arr = np.array(rows, dtype=REG_DTYPE) if rows else np.zeros(0, REG_DTYPE)
+        return arr, off
+
+    def finalize(self, seqs, regs_all, pe: bool, n_processed: int,
+                 rg_id: str, pes=None) -> bool:
+        """Writes s.sam for every read; False -> caller uses the Python path.
+
+        For PE, n_processed must already be the pair-id base (n_processed>>1
+        of the read counter) and pes the 4 mem_pestat entries."""
+        if not self._ensure_ctx():
+            return False
+        n = len(seqs)
+        (seq_blob, seq_off, qual_blob, qual_off, name_blob, name_off,
+         com_blob, com_off) = self._pack_blobs(seqs)
+        regs, reg_off = self._pack_regs(regs_all)
+        if pe:
+            pes_i = np.array([[p.low, p.high, p.failed] for p in pes],
+                             np.int32).ravel()
+            pes_f = np.array([[p.avg, p.std] for p in pes],
+                             np.float64).ravel()
+        else:
+            pes_i = np.zeros(12, np.int32)
+            pes_f = np.ones(8, np.float64)
+        out_blob = ctypes.c_void_p()
+        out_off = np.zeros(n + 1, np.int64)
+        rc = self.lib.fin_batch(
+            self.ctx, ctypes.c_int(1 if pe else 0), ctypes.c_int64(n),
+            _vp(seq_blob), _vp(seq_off), _vp(qual_blob), _vp(qual_off),
+            _vp(name_blob), _vp(name_off), _vp(com_blob), _vp(com_off),
+            _vp(regs), _vp(reg_off), ctypes.c_int64(n_processed),
+            rg_id.encode() if rg_id else b"", _vp(pes_i), _vp(pes_f),
+            ctypes.byref(out_blob), _vp(out_off))
+        if rc != 0:
+            return False
+        try:
+            blob = ctypes.string_at(out_blob, int(out_off[n]))
+        finally:
+            self.lib.fin_buf_free(out_blob)
+        for i, s in enumerate(seqs):
+            s.sam = blob[out_off[i]:out_off[i + 1]].decode()
+        return True

@@ -49,6 +49,14 @@ def test_image_roundtrip(index, tmp_path):
     np.testing.assert_array_equal(idx2.pac, index.pac)
     assert idx2.anns == index.anns
     assert idx2.ambs == index.ambs
+    # the image carries the unpacked forward ref as a read-only memmap so
+    # co-located shard processes share ONE physical copy (map_indexes parity)
+    assert isinstance(idx2.ref_fwd, np.memmap)
+    np.testing.assert_array_equal(idx2.ref_fwd,
+                                  fmt.unpack_pac(index.pac, index.l_pac))
+    from mpibwa_tpu.core.refseq import RefSeq
+
+    assert RefSeq(idx2).ref is idx2.ref_fwd
 
 
 def test_unpack_pac(index):

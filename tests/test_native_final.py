@@ -1,0 +1,129 @@
+"""Differential tests: native finalization runtime (native/finalize.c) vs the
+exact Python spec (core/{extend,region,sam,pair,cigar}.py).
+
+The DP hooks are fuzzed directly; the batch path is validated by running the
+device pipeline twice (native vs Python finalization) and requiring identical
+SAM text. Golden identity of the native path is additionally covered by the
+runtime tests, which exercise it by default.
+"""
+
+import ctypes
+
+import numpy as np
+import pytest
+
+from mpibwa_tpu.core.extend import (KSW_XBYTE, KSW_XSTART, KSW_XSUBO,
+                                    ksw_align2, ksw_global2)
+from mpibwa_tpu.core.opts import MEM_F_PE, fill_scmat, mem_opt_init
+from mpibwa_tpu.io.fastq import interleave, read_fastq
+from mpibwa_tpu.native import get_lib
+
+from conftest import fastq_path
+
+P = ctypes.c_void_p
+
+
+def _vp(a):
+    return a.ctypes.data_as(P)
+
+
+@pytest.fixture(scope="module")
+def lib():
+    lib = get_lib()
+    if lib is None:
+        pytest.skip("native library unavailable")
+    return lib
+
+
+def test_global_matches_python(lib):
+    mat = fill_scmat(1, 4)
+    rng = np.random.default_rng(7)
+    for trial in range(120):
+        qlen = int(rng.integers(1, 160))
+        tlen = int(rng.integers(1, 200))
+        q = rng.integers(0, 5, qlen).astype(np.uint8)
+        if trial % 2 == 0 and tlen >= qlen:
+            t = np.concatenate(
+                [q, rng.integers(0, 4, tlen - qlen).astype(np.uint8)])
+            m = rng.random(tlen) < 0.1
+            t = np.where(m, rng.integers(0, 4, tlen).astype(np.uint8),
+                         t).astype(np.uint8)
+        else:
+            t = rng.integers(0, 5, tlen).astype(np.uint8)
+        # real callers (gen_cigar) guarantee w >= |rlen - qlen| + 3
+        w = max(int(rng.integers(1, 120)), abs(tlen - qlen) + 3)
+        ps, pc = ksw_global2(q, t, mat, 6, 1, 6, 1, w, True)
+        score = np.zeros(1, np.int32)
+        cig = np.zeros(qlen + tlen + 4, np.uint32)
+        ncig = np.array([len(cig)], np.int32)
+        rc = lib.fin_test_global(_vp(q), qlen, _vp(t), tlen, _vp(mat),
+                                 6, 1, 6, 1, w, 1, _vp(score), _vp(cig),
+                                 _vp(ncig))
+        assert rc == 0
+        ccig = [(int(c >> 4), int(c & 0xF)) for c in cig[: ncig[0]]]
+        assert ps == score[0] and (pc or []) == ccig, trial
+
+
+def test_align2_matches_python(lib):
+    mat = fill_scmat(1, 4)
+    rng = np.random.default_rng(11)
+    for trial in range(120):
+        qlen = int(rng.integers(5, 120))
+        tlen = int(rng.integers(5, 400))
+        q = rng.integers(0, 4, qlen).astype(np.uint8)
+        if trial % 2 == 0 and tlen > qlen:
+            ins = int(rng.integers(0, tlen - qlen))
+            t = rng.integers(0, 4, tlen).astype(np.uint8)
+            t[ins : ins + qlen] = q
+            m = rng.random(tlen) < 0.08
+            t = np.where(m, rng.integers(0, 4, tlen).astype(np.uint8),
+                         t).astype(np.uint8)
+        else:
+            t = rng.integers(0, 4, tlen).astype(np.uint8)
+        for size_mode in (KSW_XBYTE, 0):  # u8 and i16 kernels
+            xtra = KSW_XSUBO | KSW_XSTART | size_mode | 19
+            r = ksw_align2(q, t, mat, 6, 1, 6, 1, xtra)
+            out = np.zeros(7, np.int32)
+            rc = lib.fin_test_align2(_vp(q), qlen, _vp(t), tlen, _vp(mat),
+                                     6, 1, 6, 1, xtra, _vp(out))
+            assert rc == 0
+            assert (r.score, r.te, r.qe, r.qb, r.tb, r.score2,
+                    r.te2) == tuple(int(x) for x in out), (trial, size_mode)
+
+
+def _run_both(al, seqs_native, seqs_python, **kw):
+    al.process_seqs(seqs_native, **kw)
+    assert al._finalizer is not None and al._finalizer.available
+    lib_save = al._finalizer.lib
+    al._finalizer.lib = None  # force the Python path
+    try:
+        al.process_seqs(seqs_python, **kw)
+    finally:
+        al._finalizer.lib = lib_save
+    for a, b in zip(seqs_native, seqs_python):
+        assert a.sam == b.sam, (a.name, a.sam, b.sam)
+
+
+def test_batch_se_native_vs_python(lib, index):
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    opt = mem_opt_init()
+    al = DeviceAligner(index, opt)
+    n1 = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=300)
+    n2 = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=300)
+    _run_both(al, n1, n2, n_processed=17)
+
+
+def test_batch_pe_native_vs_python(lib, index):
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_PE
+    al = DeviceAligner(index, opt)
+
+    def load():
+        r1 = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=300)
+        r2 = read_fastq(fastq_path("HCC1187C_R2_10K.fastq"), limit=300)
+        return interleave(r1, r2)
+
+    _run_both(al, load(), load(), n_processed=0)

@@ -395,3 +395,71 @@ def test_cli_bgzf_output(idx_prefix, tmp_path):
     # @PG CL differs (-g and -o paths are part of argv); compare the rest
     strip = lambda t: [l for l in t.splitlines() if not l.startswith("@PG")]
     assert strip(text) == strip(want)
+
+
+def test_sharded_scan_matches_full_scan(tmp_path):
+    """Cooperative striped scanning (scan_fastq_sharded) must reproduce the
+    full-scan offset index bit for bit, for any shard/N (chunk boundaries
+    depend on it; shard-invariance of output depends on this)."""
+    import glob
+    import shutil
+
+    import numpy as np
+
+    from mpibwa_tpu.io.fastq import scan_fastq, scan_fastq_sharded
+
+    from conftest import fastq_path
+
+    path = str(fastq_path("HCC1187C_R1_10K.fastq"))
+    full = scan_fastq(path)
+    for n in (2, 5):
+        for d in glob.glob("/tmp/mpibwa_fqidx_*"):
+            shutil.rmtree(d, ignore_errors=True)
+        for s in range(n):
+            ix = scan_fastq_sharded(path, s, n)
+            assert np.array_equal(ix.offsets, full.offsets), (n, s)
+            assert np.array_equal(ix.l_seq, full.l_seq), (n, s)
+    for d in glob.glob("/tmp/mpibwa_fqidx_*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_find_record_start_heuristic(tmp_path):
+    """@-line boundary discovery: quality lines starting with '@' must not
+    be mistaken for headers (parallel_aux.c:307-318 heuristic)."""
+    from mpibwa_tpu.io.fastq import find_record_start
+
+    recs = []
+    for i in range(50):
+        # qual deliberately starts with '@'
+        recs.append(f"@r{i} x\nACGTACGTACGT\n+\n@IIIIIIIIIII\n".encode())
+    data = b"".join(recs)
+    p = tmp_path / "t.fq"
+    p.write_bytes(data)
+    starts = [0]
+    for r in recs[:-1]:
+        starts.append(starts[-1] + len(r))
+    with open(p, "rb") as f:
+        fsize = len(data)
+        for pos in range(0, fsize, 7):
+            got = find_record_start(f, pos, fsize)
+            want = min(s for s in starts + [fsize] if s >= pos)
+            assert got == want, (pos, got, want)
+
+
+def test_cli_launch_multihost_local_groups(idx_prefix, tmp_path):
+    """--hosts with two "localhost" entries: the multi-host code path
+    (host round-robin, per-host process groups, merge) with local spawns;
+    output equals the single-process run."""
+    from mpibwa_tpu.cli import main
+
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        sub.write_text("".join(next(f) for _ in range(120 * 4)))
+    out1 = tmp_path / "one"
+    assert main(["mem", "-K", "2000", "-o", str(out1), idx_prefix,
+                 str(sub)]) == 0
+    out2 = tmp_path / "mh"
+    assert main(["launch", "--hosts", "localhost,localhost", "mem",
+                 "-K", "2000", "-o", str(out2), idx_prefix, str(sub)]) == 0
+    strip = lambda p: [l for l in open(p) if not l.startswith("@PG")]
+    assert strip(str(out2) + ".sam") == strip(str(out1) + ".sam")
