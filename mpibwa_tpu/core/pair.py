@@ -98,6 +98,20 @@ def mem_pestat(opt, l_pac: int, regs: List[List[AlnReg]], verbose=None
         d, dist = mem_infer_dir(l_pac, r0[0].rb, r1[0].rb)
         if dist and dist <= opt.max_ins:
             isize[d].append(dist)
+    return pestat_from_isize(isize, verbose)
+
+
+def pestat_from_isize(isize, verbose=None) -> List[PEStat]:
+    """Percentile/refinement half of mem_pestat over collected
+    per-orientation insert sizes (bwamem_pair.c:58-100 analytics incl. the
+    verbose>=3 stderr lines); also serves the native (C) collector."""
+    import sys
+
+    from . import opts as _O
+
+    if verbose is None:
+        verbose = _O.bwa_verbose >= 3
+    pes = [PEStat() for _ in range(4)]
     if verbose:
         print("[M::mem_pestat] # candidate unique pairs for (FF, FR, RF, "
               "RR): (%d, %d, %d, %d)" % tuple(len(x) for x in isize),

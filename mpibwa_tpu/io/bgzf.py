@@ -68,3 +68,32 @@ class BGZFWriter:
         self.flush_block()
         if write_eof:
             self.f.write(BGZF_EOF)
+
+
+def pack_records(records, level: int = 3) -> bytes:
+    """Whole-record block packing with the reference writer's rules
+    (compress_and_write_bgzf_thread, parallel_aux.c:3000-3057): each block
+    greedily takes whole records while the uncompressed payload stays
+    <= MAX_BLOCK_SIZE; the record that would overflow starts the next
+    block. Records larger than one block are split at the payload bound
+    (the reference's fixed 64 KiB buffer cannot represent that case).
+    Returns a self-contained run of BGZF blocks ending on a record
+    boundary."""
+    out = bytearray()
+    buf = bytearray()
+    for rec in records:
+        if buf and len(buf) + len(rec) > MAX_BLOCK_SIZE:
+            out += bgzf_block(bytes(buf), level)
+            buf.clear()
+        if len(rec) > MAX_BLOCK_SIZE:
+            for off in range(0, len(rec), _PAYLOAD_MAX):
+                piece = rec[off : off + _PAYLOAD_MAX]
+                if len(piece) == _PAYLOAD_MAX:
+                    out += bgzf_block(piece, level)
+                else:
+                    buf += piece  # tail rides with the following records
+        else:
+            buf += rec
+    if buf:
+        out += bgzf_block(bytes(buf), level)
+    return bytes(out)

@@ -91,6 +91,22 @@ def get_lib():
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_int, P]
+        # chaining session (finalize.c chain stage)
+        lib.fin_chain_begin.restype = P
+        lib.fin_chain_begin.argtypes = [P, ctypes.c_int64, P, P, P, P, P, P,
+                                        ctypes.c_int, P,
+                                        ctypes.POINTER(P),
+                                        ctypes.POINTER(P)]
+        lib.fin_chain_rights.restype = ctypes.c_int
+        lib.fin_chain_rights.argtypes = [P, P, P, P, ctypes.POINTER(P),
+                                         ctypes.POINTER(P)]
+        lib.fin_chain_finish.restype = ctypes.c_int
+        lib.fin_chain_finish.argtypes = [P, P, P, ctypes.POINTER(P), P]
+        lib.fin_chain_end.restype = None
+        lib.fin_chain_end.argtypes = [P]
+        lib.fin_pestat.restype = None
+        lib.fin_pestat.argtypes = [P, P, P, ctypes.c_int64, ctypes.c_int,
+                                   P, P, P, ctypes.POINTER(P)]
         _lib = lib
         return _lib
 

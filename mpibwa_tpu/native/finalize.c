@@ -216,7 +216,8 @@ static void aln_destroy(aln_t *a) { free(a->cigar); free(a->md); a->cigar = 0; a
 typedef struct {
     int a, b, o_del, e_del, o_ins, e_ins, pen_clip5, pen_clip3, pen_unpaired,
         w, zdrop, T, flag, min_seed_len, max_matesw, max_XA_hits,
-        max_XA_hits_alt, max_chain_gap, mapQ_coef_fac;
+        max_XA_hits_alt, max_chain_gap, mapQ_coef_fac, min_chain_weight,
+        max_chain_extend, max_occ;
     double mask_level, drop_ratio, XA_drop_ratio, mask_level_redun,
            mapQ_coef_len;
     int8_t mat[25];
@@ -1733,7 +1734,8 @@ EXPORT void *fin_ctx_new(const uint8_t *ref, int64_t l_pac, int32_t n_seqs,
     f->flag = oi[k++]; f->min_seed_len = oi[k++];
     f->max_matesw = oi[k++]; f->max_XA_hits = oi[k++];
     f->max_XA_hits_alt = oi[k++]; f->max_chain_gap = oi[k++];
-    f->mapQ_coef_fac = oi[k++];
+    f->mapQ_coef_fac = oi[k++]; f->min_chain_weight = oi[k++];
+    f->max_chain_extend = oi[k++]; f->max_occ = oi[k++];
     f->mask_level = of[0]; f->drop_ratio = of[1];
     f->XA_drop_ratio = of[2]; f->mask_level_redun = of[3];
     f->mapQ_coef_len = of[4];
@@ -1891,4 +1893,1146 @@ EXPORT int fin_test_align2(const uint8_t *q, int qlen, const uint8_t *t,
     out7[4] = r.tb; out7[5] = r.score2; out7[6] = r.te2;
     scr_destroy(&S);
     return g_oom ? -1 : 0;
+}
+
+/* ================================================================== */
+/* chaining stage (spec: core/chain.py, core/kbtree.py,               */
+/* core/region.py mem_chain2aln) — session API: chains are built in   */
+/* C, extension problems go to the device in two rounds (left, right),*/
+/* results come back as arrays, regions come out packed.              */
+/* ================================================================== */
+
+/* ksw_extend2, serial port of the row recurrence in core/extend.py:46-146
+ * (used for seeds beyond the device job subset, oversize problems, and any
+ * job the caller provides no device result for). */
+typedef struct { int score, qle, tle, gtle, gscore, max_off; } extret_t;
+
+static extret_t c_ksw_extend2(scr_t *S, const uint8_t *q, int qlen,
+                              const uint8_t *t, int tlen, const int8_t *mat,
+                              int o_del, int e_del, int o_ins, int e_ins,
+                              int w, int end_bonus, int zdrop, int h0) {
+    extret_t r = {h0, 0, 0, 0, -1, 0};
+    int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    int32_t *eh_h = SCR(S, eh_h, int32_t, qlen + 2);
+    int32_t *eh_e = SCR(S, eh_e, int32_t, qlen + 2);
+    if (g_oom) return r;
+    memset(eh_h, 0, (size_t)(qlen + 2) * 4);
+    memset(eh_e, 0, (size_t)(qlen + 2) * 4);
+    eh_h[0] = h0;
+    if (qlen >= 1) {
+        eh_h[1] = h0 > oe_ins ? h0 - oe_ins : 0;
+        for (int j = 2; j <= qlen && eh_h[j - 1] > e_ins; ++j)
+            eh_h[j] = eh_h[j - 1] - e_ins;
+    }
+    int mmax = -128;
+    for (int i = 0; i < 25; ++i)
+        if (mat[i] > mmax) mmax = mat[i];
+    int max_ins = (int)(((double)qlen * mmax + end_bonus - o_ins) / e_ins
+                        + 1.0);
+    if (max_ins < 1) max_ins = 1;
+    if (w > max_ins) w = max_ins;
+    int max_del = (int)(((double)qlen * mmax + end_bonus - o_del) / e_del
+                        + 1.0);
+    if (max_del < 1) max_del = 1;
+    if (w > max_del) w = max_del;
+    int maxv = h0, max_i = -1, max_j = -1, max_ie = -1, gscore = -1;
+    int max_off = 0;
+    int beg = 0, end = qlen;
+    for (int i = 0; i < tlen; ++i) {
+        if (beg < i - w) beg = i - w;
+        if (end > i + w + 1) end = i + w + 1;
+        if (end > qlen) end = qlen;
+        if (beg >= end) break;
+        int32_t h1_first = 0;
+        if (beg == 0) {
+            int32_t v = h0 - (o_del + e_del * (i + 1));
+            h1_first = v > 0 ? v : 0;
+        }
+        const int8_t *row = mat + t[i] * 5;
+        int32_t f = 0;        /* F[beg] = 0 */
+        int32_t hprev = h1_first;
+        int32_t mrun = 0;
+        int mj = end - 1;
+        for (int j = beg; j < end; ++j) {
+            int32_t m = eh_h[j]; /* old: H(i-1, j-1) */
+            m = m != 0 ? m + row[q[j]] : 0;
+            int32_t e = eh_e[j];
+            int32_t h = m > e ? m : e;
+            if (f > h) h = f;
+            eh_h[j] = hprev;
+            hprev = h;
+            /* F[j+1] = max(F[j]-e_ins, max(M[j]-oe_ins, 0)) */
+            int32_t t1 = m - oe_ins;
+            if (t1 < 0) t1 = 0;
+            int32_t fn = f - e_ins;
+            f = t1 > fn ? t1 : fn;
+            int32_t ne1 = m - oe_del;
+            if (ne1 < 0) ne1 = 0;
+            int32_t ne2 = e - e_del;
+            eh_e[j] = ne1 > ne2 ? ne1 : ne2;
+            if (h >= mrun) { mrun = h; mj = j; }
+        }
+        eh_h[end] = hprev;
+        eh_e[end] = 0;
+        int32_t h1_last = hprev; /* H[end-1]; beg<end guaranteed */
+        if (end == qlen) {
+            if (gscore <= h1_last) {
+                max_ie = i;
+                if (h1_last > gscore) gscore = h1_last;
+            }
+        }
+        if (mrun == 0) break;
+        if (mrun > maxv) {
+            maxv = mrun; max_i = i; max_j = mj;
+            int off = mj > i ? mj - i : i - mj;
+            if (off > max_off) max_off = off;
+        } else if (zdrop > 0) {
+            if (i - max_i > mj - max_j) {
+                if (maxv - mrun - ((i - max_i) - (mj - max_j)) * e_del
+                    > zdrop) break;
+            } else {
+                if (maxv - mrun - ((mj - max_j) - (i - max_i)) * e_ins
+                    > zdrop) break;
+            }
+        }
+        int j = beg;
+        while (j < end && eh_h[j] == 0 && eh_e[j] == 0) ++j;
+        beg = j;
+        j = end;
+        while (j >= beg && eh_h[j] == 0 && eh_e[j] == 0) --j;
+        end = j + 2 < qlen ? j + 2 : qlen;
+    }
+    r.score = maxv;
+    r.qle = max_j + 1;
+    r.tle = max_i + 1;
+    r.gtle = max_ie + 1;
+    r.gscore = gscore;
+    r.max_off = max_off;
+    return r;
+}
+
+/* ------------------------------------------------------------------ */
+/* chains + the exact kbtree (spec: core/kbtree.py, KB t=5)            */
+/* ------------------------------------------------------------------ */
+
+typedef struct { int64_t rbeg; int32_t qbeg, len, score; } seed_t;
+typedef struct { seed_t *a; int n, m; } seedvec_t;
+
+typedef struct {
+    int64_t pos;
+    int rid, is_alt, w, kept, first;
+    double frac_rep;
+    seedvec_t seeds;
+} chain_t;
+
+static void sv_push(seedvec_t *v, seed_t s) {
+    if (v->n == v->m) {
+        int m = v->m ? v->m << 1 : 4;
+        seed_t *p = (seed_t *)realloc(v->a, (size_t)m * sizeof(seed_t));
+        if (!p) { g_oom = 1; return; }
+        v->a = p; v->m = m;
+    }
+    v->a[v->n++] = s;
+}
+
+#define KB_T 5
+typedef struct kbnode {
+    int is_internal, n;
+    chain_t keys[2 * KB_T - 1];
+    struct kbnode *ptrs[2 * KB_T];
+} kbnode_t;
+
+typedef struct { kbnode_t *root; int n_keys; kbnode_t **all; int na, ma; } kbtree_t;
+
+static kbnode_t *kb_newnode(kbtree_t *tr, int internal) {
+    kbnode_t *x = (kbnode_t *)calloc(1, sizeof(kbnode_t));
+    if (!x) { g_oom = 1; return 0; }
+    x->is_internal = internal;
+    if (tr->na == tr->ma) {
+        int m = tr->ma ? tr->ma << 1 : 16;
+        kbnode_t **p = (kbnode_t **)realloc(tr->all,
+                                            (size_t)m * sizeof(kbnode_t *));
+        if (!p) { g_oom = 1; free(x); return 0; }
+        tr->all = p; tr->ma = m;
+    }
+    tr->all[tr->na++] = x;
+    return x;
+}
+
+static int kb_cmp(const chain_t *x, const chain_t *y) {
+    return (x->pos > y->pos) - (x->pos < y->pos);
+}
+
+/* __kb_getp_aux (spec: core/kbtree.py:39-55) */
+static int kb_getp_aux(const kbnode_t *x, const chain_t *k, int *r_out) {
+    int n = x->n;
+    if (n == 0) { *r_out = 1; return -1; }
+    int begin = 0, end = n;
+    while (begin < end) {
+        int mid = (begin + end) >> 1;
+        if (kb_cmp(&x->keys[mid], k) < 0) begin = mid + 1;
+        else end = mid;
+    }
+    if (begin == n) { *r_out = 1; return n - 1; }
+    int r = kb_cmp(k, &x->keys[begin]);
+    if (r < 0) --begin;
+    *r_out = r;
+    return begin;
+}
+
+/* kb_intervalp: returns the *lower* chain (mutable) or NULL */
+static chain_t *kb_interval_lower(kbtree_t *tr, const chain_t *k) {
+    chain_t *lower = 0;
+    kbnode_t *x = tr->root;
+    while (x) {
+        int r;
+        int i = kb_getp_aux(x, k, &r);
+        if (i >= 0 && r == 0) return &x->keys[i];
+        if (i >= 0) lower = &x->keys[i];
+        if (!x->is_internal) return lower;
+        x = x->ptrs[i + 1];
+    }
+    return lower;
+}
+
+static void kb_split(kbtree_t *tr, kbnode_t *x, int i, kbnode_t *y) {
+    kbnode_t *z = kb_newnode(tr, y->is_internal);
+    if (!z) return;
+    z->n = KB_T - 1;
+    memcpy(z->keys, y->keys + KB_T, (size_t)(KB_T - 1) * sizeof(chain_t));
+    if (y->is_internal)
+        memcpy(z->ptrs, y->ptrs + KB_T, (size_t)KB_T * sizeof(kbnode_t *));
+    chain_t median = y->keys[KB_T - 1];
+    y->n = KB_T - 1;
+    memmove(x->ptrs + i + 2, x->ptrs + i + 1,
+            (size_t)(x->n - i) * sizeof(kbnode_t *));
+    x->ptrs[i + 1] = z;
+    memmove(x->keys + i + 1, x->keys + i,
+            (size_t)(x->n - i) * sizeof(chain_t));
+    x->keys[i] = median;
+    ++x->n;
+}
+
+static void kb_putp_aux(kbtree_t *tr, kbnode_t *x, const chain_t *k) {
+    int r;
+    if (!x->is_internal) {
+        int i = kb_getp_aux(x, k, &r);
+        memmove(x->keys + i + 2, x->keys + i + 1,
+                (size_t)(x->n - i - 1) * sizeof(chain_t));
+        x->keys[i + 1] = *k;
+        ++x->n;
+    } else {
+        int i = kb_getp_aux(x, k, &r) + 1;
+        if (x->ptrs[i]->n == 2 * KB_T - 1) {
+            kb_split(tr, x, i, x->ptrs[i]);
+            if (g_oom) return;
+            if (kb_cmp(k, &x->keys[i]) > 0) ++i;
+        }
+        kb_putp_aux(tr, x->ptrs[i], k);
+    }
+}
+
+static void kb_put(kbtree_t *tr, const chain_t *k) {
+    ++tr->n_keys;
+    kbnode_t *rt = tr->root;
+    if (rt->n == 2 * KB_T - 1) {
+        kbnode_t *s = kb_newnode(tr, 1);
+        if (!s) return;
+        s->ptrs[0] = rt;
+        tr->root = s;
+        kb_split(tr, s, 0, rt);
+        if (g_oom) return;
+        rt = s;
+    }
+    kb_putp_aux(tr, rt, k);
+}
+
+typedef struct { chain_t *a; int n, m; } chainvec_t;
+
+static void cv_push(chainvec_t *v, chain_t c) {
+    if (v->n == v->m) {
+        int m = v->m ? v->m << 1 : 8;
+        chain_t *p = (chain_t *)realloc(v->a, (size_t)m * sizeof(chain_t));
+        if (!p) { g_oom = 1; return; }
+        v->a = p; v->m = m;
+    }
+    v->a[v->n++] = c;
+}
+
+static void kb_traverse_rec(const kbnode_t *x, chainvec_t *out) {
+    if (x->is_internal) {
+        for (int i = 0; i < x->n; ++i) {
+            kb_traverse_rec(x->ptrs[i], out);
+            cv_push(out, x->keys[i]);
+        }
+        kb_traverse_rec(x->ptrs[x->n], out);
+    } else {
+        for (int i = 0; i < x->n; ++i) cv_push(out, x->keys[i]);
+    }
+}
+
+/* bns_intv2rid (spec: core/refseq.py:44-56) */
+static int bns_intv2rid(const fin_t *f, int64_t rb, int64_t re) {
+    if (rb < f->l_pac && re > f->l_pac) return -2;
+    int is_rev;
+    int64_t fb = bns_depos(f, rb, &is_rev);
+    int rid_b = bns_pos2rid(f, fb);
+    int rid_e = rid_b;
+    if (rb < re) {
+        int64_t fe = bns_depos(f, re - 1, &is_rev);
+        rid_e = bns_pos2rid(f, fe);
+    }
+    return rid_b == rid_e ? rid_b : -1;
+}
+
+/* mem_chain_weight (spec: core/chain.py:90-108) */
+static int chain_weight(const chain_t *c) {
+    int64_t w = 0, end = 0;
+    for (int k = 0; k < c->seeds.n; ++k) {
+        const seed_t *s = &c->seeds.a[k];
+        if (s->qbeg >= end) w += s->len;
+        else if (s->qbeg + s->len > end) w += s->qbeg + s->len - end;
+        if (s->qbeg + s->len > end) end = s->qbeg + s->len;
+    }
+    int64_t tmp = w;
+    w = 0; end = 0;
+    for (int k = 0; k < c->seeds.n; ++k) {
+        const seed_t *s = &c->seeds.a[k];
+        if (s->rbeg >= end) w += s->len;
+        else if (s->rbeg + s->len > end) w += s->rbeg + s->len - end;
+        if (s->rbeg + s->len > end) end = s->rbeg + s->len;
+    }
+    if (tmp < w) w = tmp;
+    return w < (1 << 30) ? (int)w : (1 << 30) - 1;
+}
+
+/* test_and_merge (spec: core/chain.py:111-129) */
+static int test_and_merge(const fin_t *f, int64_t l_pac, chain_t *c,
+                          const seed_t *p, int seed_rid) {
+    const seed_t *last = &c->seeds.a[c->seeds.n - 1];
+    int64_t qend = last->qbeg + last->len;
+    int64_t rend = last->rbeg + last->len;
+    if (seed_rid != c->rid) return 0;
+    if (p->qbeg >= c->seeds.a[0].qbeg && p->qbeg + p->len <= qend
+        && p->rbeg >= c->seeds.a[0].rbeg && p->rbeg + p->len <= rend)
+        return 1; /* contained */
+    if ((last->rbeg < l_pac || c->seeds.a[0].rbeg < l_pac)
+        && p->rbeg >= l_pac)
+        return 0; /* different strand */
+    int64_t x = p->qbeg - last->qbeg;
+    int64_t y = p->rbeg - last->rbeg;
+    if (y >= 0 && x - y <= f->w && y - x <= f->w
+        && x - last->len < f->max_chain_gap
+        && y - last->len < f->max_chain_gap) {
+        sv_push(&c->seeds, *p);
+        return 1;
+    }
+    return 0;
+}
+
+/* mem_chain (spec: core/chain.py:132-192); mems: 4 int64 per interval
+ * (x0, x1, x2, info); sa: resolved positions in enumeration order. */
+static void c_mem_chain(const fin_t *f, int l_seq, const int64_t *mems,
+                        int n_mem, const int64_t *sa, int max_occ,
+                        chainvec_t *out) {
+    if (l_seq < f->min_seed_len) return;
+    int64_t l_pac = f->l_pac;
+    /* frac_rep */
+    int64_t fb = 0, fe = 0, l_rep = 0;
+    for (int mi = 0; mi < n_mem; ++mi) {
+        const int64_t *iv = mems + 4 * mi;
+        int64_t sb = iv[3] >> 32, se = iv[3] & 0xFFFFFFFF;
+        if (iv[2] <= max_occ) continue;
+        if (sb > fe) { l_rep += fe - fb; fb = sb; fe = se; }
+        else if (se > fe) fe = se;
+    }
+    l_rep += fe - fb;
+    kbtree_t tr;
+    memset(&tr, 0, sizeof tr);
+    tr.root = kb_newnode(&tr, 0);
+    if (g_oom) return;
+    int sa_i = 0;
+    for (int mi = 0; mi < n_mem; ++mi) {
+        const int64_t *iv = mems + 4 * mi;
+        int64_t slen = (iv[3] & 0xFFFFFFFF) - (iv[3] >> 32);
+        int64_t step = iv[2] > max_occ ? iv[2] / max_occ : 1;
+        int64_t k = 0, count = 0;
+        while (k < iv[2] && count < max_occ) {
+            int64_t rbeg = sa[sa_i++];
+            seed_t s;
+            s.rbeg = rbeg;
+            s.qbeg = (int32_t)(iv[3] >> 32);
+            s.len = (int32_t)slen;
+            s.score = (int32_t)slen;
+            int rid = bns_intv2rid(f, s.rbeg, s.rbeg + s.len);
+            if (rid >= 0) {
+                int to_add = 0;
+                if (tr.n_keys) {
+                    chain_t key;
+                    key.pos = rbeg;
+                    chain_t *lower = kb_interval_lower(&tr, &key);
+                    if (!lower || !test_and_merge(f, l_pac, lower, &s, rid))
+                        to_add = 1;
+                } else to_add = 1;
+                if (to_add) {
+                    chain_t c;
+                    memset(&c, 0, sizeof c);
+                    c.pos = s.rbeg;
+                    c.rid = rid;
+                    c.is_alt = f->ann_is_alt[rid] ? 1 : 0;
+                    c.first = -1;
+                    sv_push(&c.seeds, s);
+                    kb_put(&tr, &c);
+                }
+                if (g_oom) break;
+            }
+            k += step;
+            ++count;
+        }
+        if (g_oom) break;
+    }
+    if (!g_oom) {
+        kb_traverse_rec(tr.root, out);
+        double frac_rep = (double)(float)((float)l_rep / (float)l_seq);
+        for (int i = 0; i < out->n; ++i) out->a[i].frac_rep = frac_rep;
+    }
+    for (int i = 0; i < tr.na; ++i) free(tr.all[i]);
+    free(tr.all);
+}
+
+#define CHAIN_W_LT(x, y) ((x).w > (y).w)
+KSORT_INIT(chain_w, chain_t, CHAIN_W_LT)
+
+/* mem_chain_flt (spec: core/chain.py:195-259); filters cv in place */
+static void c_mem_chain_flt(const fin_t *f, chainvec_t *cv) {
+    if (!cv->n) return;
+    chain_t *a = cv->a;
+    int n = 0;
+    for (int i = 0; i < cv->n; ++i) {
+        a[i].first = -1;
+        a[i].kept = 0;
+        a[i].w = chain_weight(&a[i]);
+        if (a[i].w >= f->min_chain_weight) a[n++] = a[i];
+        else free(a[i].seeds.a);
+    }
+    cv->n = n;
+    if (!n) return;
+    chain_w_sort(a, n);
+    int *kept_idx = (int *)malloc((size_t)n * sizeof(int));
+    if (!kept_idx) { g_oom = 1; return; }
+    int nk = 0;
+    kept_idx[nk++] = 0;
+    a[0].kept = 3;
+    float mask32 = (float)f->mask_level, drop32 = (float)f->drop_ratio;
+    for (int i = 1; i < n; ++i) {
+        int large_ovlp = 0, brk = 0;
+        for (int kk = 0; kk < nk; ++kk) {
+            int j = kept_idx[kk];
+            const seed_t *jf = &a[j].seeds.a[0];
+            const seed_t *jl = &a[j].seeds.a[a[j].seeds.n - 1];
+            const seed_t *ifs = &a[i].seeds.a[0];
+            const seed_t *il = &a[i].seeds.a[a[i].seeds.n - 1];
+            int64_t b_max = jf->qbeg > ifs->qbeg ? jf->qbeg : ifs->qbeg;
+            int64_t je = jl->qbeg + jl->len, ie = il->qbeg + il->len;
+            int64_t e_min = je < ie ? je : ie;
+            if (e_min > b_max && (!a[j].is_alt || a[i].is_alt)) {
+                int64_t li = ie - ifs->qbeg;
+                int64_t lj = je - jf->qbeg;
+                int64_t min_l = li < lj ? li : lj;
+                if ((float)(e_min - b_max) >= (float)min_l * mask32
+                    && min_l < f->max_chain_gap) {
+                    large_ovlp = 1;
+                    if (a[j].first < 0) a[j].first = i;
+                    if ((float)a[i].w < (float)a[j].w * drop32
+                        && a[j].w - a[i].w >= f->min_seed_len << 1) {
+                        brk = 1;
+                        break;
+                    }
+                }
+            }
+        }
+        if (!brk) {
+            kept_idx[nk++] = i;
+            a[i].kept = large_ovlp ? 2 : 3;
+        }
+    }
+    for (int kk = 0; kk < nk; ++kk) {
+        int j = kept_idx[kk];
+        if (a[j].first >= 0) a[a[j].first].kept = 1;
+    }
+    free(kept_idx);
+    int k = 0, i = 0;
+    while (i < n) {
+        if (a[i].kept == 0 || a[i].kept == 3) { ++i; continue; }
+        ++k;
+        if (k >= f->max_chain_extend) break;
+        ++i;
+    }
+    while (i < n) {
+        if (a[i].kept < 3) a[i].kept = 0;
+        ++i;
+    }
+    int m = 0;
+    for (i = 0; i < n; ++i) {
+        if (a[i].kept != 0) a[m++] = a[i];
+        else free(a[i].seeds.a);
+    }
+    cv->n = m;
+}
+
+#define MEM_SHORT_EXT 50
+#define MEM_SHORT_LEN 200
+#define MEM_HSP_COEF ((double)(float)1.1)
+#define MEM_MINSC_COEF 5.5
+#define MEM_SEEDSW_COEF ((double)(float)0.05)
+
+/* mem_seed_sw (spec: core/chain.py:262-284) */
+static int mem_seed_sw(const fin_t *f, scr_t *S, int l_query,
+                       const uint8_t *query, const seed_t *s) {
+    int64_t l_pac = f->l_pac;
+    if (s->len >= MEM_SHORT_LEN) return -1;
+    int64_t qb = s->qbeg, qe = s->qbeg + s->len;
+    int64_t rb = s->rbeg, re = s->rbeg + s->len;
+    int64_t mid = (rb + re) >> 1;
+    qb = qb - MEM_SHORT_EXT > 0 ? qb - MEM_SHORT_EXT : 0;
+    qe = qe + MEM_SHORT_EXT < l_query ? qe + MEM_SHORT_EXT : l_query;
+    rb = rb - MEM_SHORT_EXT > 0 ? rb - MEM_SHORT_EXT : 0;
+    re = re + MEM_SHORT_EXT < (l_pac << 1) ? re + MEM_SHORT_EXT
+                                           : (l_pac << 1);
+    if (rb < l_pac && l_pac < re) {
+        if (mid < l_pac) re = l_pac;
+        else rb = l_pac;
+    }
+    if (qe - qb >= MEM_SHORT_LEN || re - rb >= MEM_SHORT_LEN) return -1;
+    uint8_t *rseq = SCR(S, rseq, uint8_t, (size_t)(re - rb) + 1);
+    if (g_oom) return -1;
+    int rid;
+    int64_t rb2, re2;
+    bns_fetch_seq(f, rb, mid, re, rseq, &rid, &rb2, &re2);
+    kswr_t x = ksw_align2(S, query + qb, (int)(qe - qb), rseq,
+                          (int)(re2 - rb2), f->mat, f->o_del, f->e_del,
+                          f->o_ins, f->e_ins, KSW_XSTART);
+    return x.score;
+}
+
+/* mem_flt_chained_seeds (spec: core/chain.py:287-301) */
+static void c_mem_flt_chained_seeds(const fin_t *f, scr_t *S, int l_query,
+                                    const uint8_t *query, chainvec_t *cv) {
+    double min_l = f->min_chain_weight
+                   ? MEM_HSP_COEF * f->min_chain_weight
+                   : MEM_MINSC_COEF * log((double)l_query);
+    int min_hsp_score = (int)(f->a * min_l + 0.499);
+    if (min_l > MEM_SEEDSW_COEF * l_query) return;
+    for (int ci = 0; ci < cv->n; ++ci) {
+        chain_t *c = &cv->a[ci];
+        int m = 0;
+        for (int k = 0; k < c->seeds.n; ++k) {
+            seed_t *s = &c->seeds.a[k];
+            s->score = mem_seed_sw(f, S, l_query, query, s);
+            if (s->score < 0 || s->score >= min_hsp_score) {
+                if (s->score < 0) s->score = s->len * f->a;
+                c->seeds.a[m++] = *s;
+            }
+        }
+        c->seeds.n = m;
+    }
+}
+
+/* ------------------------------------------------------------------ */
+/* chain session: chains in C, extension DPs on device in two rounds  */
+/* (exact flow of pipeline/device_align.py _precompute_extensions +   */
+/* core/region.py mem_chain2aln)                                       */
+/* ------------------------------------------------------------------ */
+
+#define MAX_BAND_TRY 2
+
+/* cal_max_gap (spec: core/region.py:70-75) */
+static int cal_max_gap(const fin_t *f, int qlen) {
+    int l_del = (int)(((double)qlen * f->a - f->o_del) / f->e_del + 1.0);
+    int l_ins = (int)(((double)qlen * f->a - f->o_ins) / f->e_ins + 1.0);
+    int l = l_del > l_ins ? l_del : l_ins;
+    if (l < 1) l = 1;
+    return l < f->w << 1 ? l : f->w << 1;
+}
+
+#define U64_LT(a, b) ((a) < (b))
+KSORT_INIT(u64, uint64_t, U64_LT)
+
+typedef struct {
+    int b;                 /* read row */
+    int ci;                /* chain index (within read, post-filter) */
+    int64_t rmax0, rmax1;
+    uint8_t *rseq;         /* owned */
+    uint64_t *srt;         /* owned, chain2aln's (score<<32|i) ascending */
+    int *subset;           /* owned: seed indices enumerated for device */
+    int n_subset;
+    extret_t *lres;        /* resolved left result per subset slot */
+    int *laws;             /* band width used for left per subset slot */
+    extret_t *rres;        /* resolved right result per subset slot */
+    int *raws;
+    uint8_t *rdone;        /* right resolved flag per subset slot */
+} cctx_t;
+
+typedef struct { int32_t c[6]; int32_t p[4]; int ctx; int slot; } job_t;
+typedef struct { job_t *a; long n, m; } jobvec_t;
+
+static void jv_push(jobvec_t *v, job_t j) {
+    if (v->n == v->m) {
+        long m = v->m ? v->m << 1 : 64;
+        job_t *p = (job_t *)realloc(v->a, (size_t)m * sizeof(job_t));
+        if (!p) { g_oom = 1; return; }
+        v->a = p; v->m = m;
+    }
+    v->a[v->n++] = j;
+}
+
+typedef struct {
+    fin_t *f;
+    scr_t S;
+    int64_t n_reads;
+    const uint8_t *seqs;
+    const int64_t *seq_off;
+    chainvec_t *chains;   /* per read */
+    cctx_t *ctx;          /* per extended chain */
+    int nctx, mctx;
+    jobvec_t left, right;
+    int32_t *coords_out;  /* last emitted job arrays (owned) */
+    int32_t *params_out;
+    int max_subset;
+} chainsess_t;
+
+static void sess_emit(chainsess_t *ss, jobvec_t *jv, int64_t *n_out,
+                      int32_t **coords, int32_t **params) {
+    free(ss->coords_out);
+    free(ss->params_out);
+    ss->coords_out = (int32_t *)malloc((size_t)(jv->n ? jv->n : 1) * 6 * 4);
+    ss->params_out = (int32_t *)malloc((size_t)(jv->n ? jv->n : 1) * 4 * 4);
+    if (!ss->coords_out || !ss->params_out) { g_oom = 1; return; }
+    for (long i = 0; i < jv->n; ++i) {
+        memcpy(ss->coords_out + 6 * i, jv->a[i].c, 24);
+        memcpy(ss->params_out + 4 * i, jv->a[i].p, 16);
+    }
+    *n_out = jv->n;
+    *coords = ss->coords_out;
+    *params = ss->params_out;
+}
+
+/* the MAX_BAND_TRY loop (spec: core/region.py:166-171/191-198), consuming
+ * device rows when provided, else the exact scalar kernel. res: 12 ints
+ * (r0 then r1), has: bit0 r0 valid, bit1 r1 valid. */
+static extret_t band_try(const fin_t *f, scr_t *S, const uint8_t *qs,
+                         int qlen, const uint8_t *ts, int tlen, int eb,
+                         int h0, int prev0, const int32_t *res, int has,
+                         int *aw_out) {
+    extret_t r = {0, 0, 0, 0, 0, 0};
+    int prev = prev0;
+    for (int i = 0; i < MAX_BAND_TRY; ++i) {
+        int aw = f->w << i;
+        if ((has >> i) & 1) {
+            const int32_t *row = res + 6 * i;
+            r.score = row[0]; r.qle = row[1]; r.tle = row[2];
+            r.gtle = row[3]; r.gscore = row[4]; r.max_off = row[5];
+        } else {
+            r = c_ksw_extend2(S, qs, qlen, ts, tlen, f->mat, f->o_del,
+                              f->e_del, f->o_ins, f->e_ins, aw, eb,
+                              f->zdrop, h0);
+        }
+        *aw_out = aw;
+        if (r.score == prev || r.max_off < (aw >> 1) + (aw >> 2)) break;
+        prev = r.score;
+    }
+    return r;
+}
+
+EXPORT void *fin_chain_begin(void *ctx_, int64_t n_reads,
+                             const uint8_t *seqs, const int64_t *seq_off,
+                             const int64_t *mems, const int64_t *mem_off,
+                             const int64_t *sa_pos, const int64_t *sa_off,
+                             int max_subset, int64_t *n_left,
+                             int32_t **coords, int32_t **params) {
+    fin_t *f = (fin_t *)ctx_;
+    g_oom = 0;
+    chainsess_t *ss = (chainsess_t *)calloc(1, sizeof(chainsess_t));
+    if (!ss) return 0;
+    ss->f = f;
+    ss->n_reads = n_reads;
+    ss->seqs = seqs;
+    ss->seq_off = seq_off;
+    ss->max_subset = max_subset;
+    ss->chains = (chainvec_t *)calloc((size_t)n_reads, sizeof(chainvec_t));
+    if (!ss->chains) { free(ss); return 0; }
+    int64_t l_pac = f->l_pac;
+    for (int64_t b = 0; b < n_reads && !g_oom; ++b) {
+        int l_seq = (int)(seq_off[b + 1] - seq_off[b]);
+        const uint8_t *q = seqs + seq_off[b];
+        int n_mem = (int)(mem_off[b + 1] - mem_off[b]);
+        if (n_mem < 0) continue; /* defensive */
+        chainvec_t *cv = &ss->chains[b];
+        c_mem_chain(f, l_seq, mems + 4 * mem_off[b], n_mem,
+                    sa_pos + sa_off[b], f->max_occ, cv);
+        if (g_oom) break;
+        c_mem_chain_flt(f, cv);
+        if (g_oom) break;
+        c_mem_flt_chained_seeds(f, &ss->S, l_seq, q, cv);
+        /* per-chain window + subset + left jobs
+         * (spec: device_align.py _precompute_extensions) */
+        for (int ci = 0; ci < cv->n && !g_oom; ++ci) {
+            chain_t *c = &cv->a[ci];
+            if (c->seeds.n == 0) continue;
+            int64_t rmax0 = l_pac << 1, rmax1 = 0;
+            for (int k = 0; k < c->seeds.n; ++k) {
+                const seed_t *t = &c->seeds.a[k];
+                int64_t lo = t->rbeg - (t->qbeg + cal_max_gap(f, t->qbeg));
+                int64_t hi = t->rbeg + t->len
+                             + (l_seq - t->qbeg - t->len)
+                             + cal_max_gap(f, l_seq - t->qbeg - t->len);
+                if (lo < rmax0) rmax0 = lo;
+                if (hi > rmax1) rmax1 = hi;
+            }
+            if (rmax0 < 0) rmax0 = 0;
+            if (rmax1 > l_pac << 1) rmax1 = l_pac << 1;
+            if (rmax0 < l_pac && l_pac < rmax1) {
+                if (c->seeds.a[0].rbeg < l_pac) rmax1 = l_pac;
+                else rmax0 = l_pac;
+            }
+            uint8_t *rseq = (uint8_t *)malloc((size_t)(rmax1 - rmax0) + 1);
+            if (!rseq) { g_oom = 1; break; }
+            int rid;
+            int64_t rb2, re2;
+            bns_fetch_seq(f, rmax0, c->seeds.a[0].rbeg, rmax1, rseq, &rid,
+                          &rb2, &re2);
+            rmax0 = rb2;
+            rmax1 = re2;
+            if (ss->nctx == ss->mctx) {
+                int m = ss->mctx ? ss->mctx << 1 : 64;
+                cctx_t *p = (cctx_t *)realloc(ss->ctx,
+                                              (size_t)m * sizeof(cctx_t));
+                if (!p) { g_oom = 1; free(rseq); break; }
+                ss->ctx = p; ss->mctx = m;
+            }
+            cctx_t *cc = &ss->ctx[ss->nctx++];
+            memset(cc, 0, sizeof *cc);
+            cc->b = (int)b;
+            cc->ci = ci;
+            cc->rmax0 = rmax0;
+            cc->rmax1 = rmax1;
+            cc->rseq = rseq;
+            cc->srt = (uint64_t *)malloc((size_t)c->seeds.n * 8);
+            if (!cc->srt) { g_oom = 1; break; }
+            for (int k = 0; k < c->seeds.n; ++k)
+                cc->srt[k] = ((uint64_t)(uint32_t)c->seeds.a[k].score << 32)
+                             | (uint64_t)k;
+            u64_sort(cc->srt, c->seeds.n);
+            int nsub = c->seeds.n < max_subset ? c->seeds.n : max_subset;
+            cc->n_subset = nsub;
+            cc->subset = (int *)malloc((size_t)(nsub ? nsub : 1) * 4);
+            cc->lres = (extret_t *)calloc((size_t)(nsub ? nsub : 1),
+                                          sizeof(extret_t));
+            cc->laws = (int *)calloc((size_t)(nsub ? nsub : 1), 4);
+            cc->rres = (extret_t *)calloc((size_t)(nsub ? nsub : 1),
+                                          sizeof(extret_t));
+            cc->raws = (int *)calloc((size_t)(nsub ? nsub : 1), 4);
+            cc->rdone = (uint8_t *)calloc((size_t)(nsub ? nsub : 1), 1);
+            if (!cc->subset || !cc->lres || !cc->laws || !cc->rres
+                || !cc->raws || !cc->rdone) { g_oom = 1; break; }
+            /* subset = top seeds by (score, i) desc — srt sorted ascending
+             * by (score<<32|i), so take from the top */
+            for (int k = 0; k < nsub; ++k)
+                cc->subset[k] = (int)(cc->srt[c->seeds.n - 1 - k]
+                                      & 0xFFFFFFFF);
+            for (int k = 0; k < nsub; ++k) {
+                const seed_t *s = &c->seeds.a[cc->subset[k]];
+                if (s->qbeg) {
+                    job_t j;
+                    j.c[0] = (int32_t)b;
+                    j.c[1] = 0;
+                    j.c[2] = s->qbeg;
+                    j.c[3] = 1;
+                    j.c[4] = (int32_t)s->rbeg;
+                    j.c[5] = (int32_t)(s->rbeg - rmax0);
+                    j.p[0] = f->w;
+                    j.p[1] = f->pen_clip5;
+                    j.p[2] = f->zdrop;
+                    j.p[3] = s->len * f->a;
+                    j.ctx = ss->nctx - 1;
+                    j.slot = k;
+                    jv_push(&ss->left, j);
+                }
+            }
+        }
+    }
+    if (g_oom) { *n_left = -1; return ss; }
+    sess_emit(ss, &ss->left, n_left, coords, params);
+    if (g_oom) *n_left = -1;
+    return ss;
+}
+
+/* build the reversed left-extension problem for (chain ctx, seed) into
+ * scratch; returns lengths via pointers */
+static void left_problem(chainsess_t *ss, const cctx_t *cc, const seed_t *s,
+                         uint8_t **qs_out, int *qlen_out, uint8_t **ts_out,
+                         int *tlen_out) {
+    const uint8_t *query = ss->seqs + ss->seq_off[cc->b];
+    int qlen = s->qbeg;
+    int64_t tmp = s->rbeg - cc->rmax0;
+    uint8_t *qs = SCR(&ss->S, qrev, uint8_t, (size_t)(qlen ? qlen : 1));
+    uint8_t *ts = SCR(&ss->S, trev, uint8_t, (size_t)(tmp > 0 ? tmp : 1));
+    if (g_oom) return;
+    for (int i = 0; i < qlen; ++i) qs[i] = query[qlen - 1 - i];
+    for (int64_t i = 0; i < tmp; ++i) ts[i] = cc->rseq[tmp - 1 - i];
+    *qs_out = qs; *qlen_out = qlen;
+    *ts_out = ts; *tlen_out = (int)(tmp > 0 ? tmp : 0);
+}
+
+EXPORT int fin_chain_rights(void *sess_, const int32_t *left_r,
+                            const uint8_t *left_has, int64_t *n_right,
+                            int32_t **coords, int32_t **params) {
+    chainsess_t *ss = (chainsess_t *)sess_;
+    fin_t *f = ss->f;
+    g_oom = 0;
+    /* resolve every left job through the band-try loop, then emit right
+     * jobs with h0 = sc0 (the resolved left score) */
+    for (long ji = 0; ji < ss->left.n; ++ji) {
+        const job_t *j = &ss->left.a[ji];
+        cctx_t *cc = &ss->ctx[j->ctx];
+        const chain_t *c = &ss->chains[cc->b].a[cc->ci];
+        const seed_t *s = &c->seeds.a[cc->subset[j->slot]];
+        uint8_t *qs = 0, *ts = 0;
+        int qlen = 0, tlen = 0;
+        int has = left_has[ji];
+        if (has != 3) {
+            left_problem(ss, cc, s, &qs, &qlen, &ts, &tlen);
+            if (g_oom) return -1;
+        }
+        cc->lres[j->slot] = band_try(f, &ss->S, qs, qlen, ts, tlen,
+                                     f->pen_clip5, s->len * f->a, -1,
+                                     left_r + 12 * ji, has,
+                                     &cc->laws[j->slot]);
+        if (g_oom) return -1;
+    }
+    for (int xi = 0; xi < ss->nctx; ++xi) {
+        cctx_t *cc = &ss->ctx[xi];
+        const chain_t *c = &ss->chains[cc->b].a[cc->ci];
+        int l_query = (int)(ss->seq_off[cc->b + 1] - ss->seq_off[cc->b]);
+        for (int k = 0; k < cc->n_subset; ++k) {
+            const seed_t *s = &c->seeds.a[cc->subset[k]];
+            int sc0 = s->qbeg ? cc->lres[k].score : s->len * f->a;
+            if (s->qbeg + s->len != l_query) {
+                int qe = s->qbeg + s->len;
+                int64_t re = s->rbeg + s->len - cc->rmax0;
+                job_t j;
+                j.c[0] = cc->b;
+                j.c[1] = qe;
+                j.c[2] = l_query - qe;
+                j.c[3] = 0;
+                j.c[4] = (int32_t)(s->rbeg + s->len);
+                j.c[5] = (int32_t)(cc->rmax1 - (s->rbeg + s->len));
+                j.p[0] = f->w;
+                j.p[1] = f->pen_clip3;
+                j.p[2] = f->zdrop;
+                j.p[3] = sc0;
+                j.ctx = xi;
+                j.slot = k;
+                jv_push(&ss->right, j);
+                if (g_oom) return -1;
+                (void)re;
+            }
+        }
+    }
+    sess_emit(ss, &ss->right, n_right, coords, params);
+    return g_oom ? -1 : 0;
+}
+
+/* mem_chain2aln (spec: core/region.py:78-220) consuming resolved results */
+static void c_chain2aln(chainsess_t *ss, cctx_t *cc, regvec_t *av) {
+    fin_t *f = ss->f;
+    const chain_t *c = &ss->chains[cc->b].a[cc->ci];
+    if (c->seeds.n == 0) return;
+    int l_query = (int)(ss->seq_off[cc->b + 1] - ss->seq_off[cc->b]);
+    const uint8_t *query = ss->seqs + ss->seq_off[cc->b];
+    uint64_t *srt = cc->srt;
+    for (int k = c->seeds.n - 1; k >= 0; --k) {
+        const seed_t *s = &c->seeds.a[srt[k] & 0xFFFFFFFF];
+        int hit = -1;
+        for (int i = 0; i < av->n; ++i) {
+            const alnreg_t *p = &av->a[i];
+            if (s->rbeg < p->rb || s->rbeg + s->len > p->re
+                || s->qbeg < p->qb || s->qbeg + s->len > p->qe)
+                continue;
+            if ((double)(s->len - p->seedlen0) > 0.1 * l_query)
+                continue;
+            int64_t qd = s->qbeg - p->qb, rd = s->rbeg - p->rb;
+            int mg = cal_max_gap(f, (int)(qd < rd ? qd : rd));
+            int w = mg < p->w ? mg : p->w;
+            if (qd - rd < w && rd - qd < w) { hit = i; break; }
+            qd = p->qe - (s->qbeg + s->len);
+            rd = p->re - (s->rbeg + s->len);
+            mg = cal_max_gap(f, (int)(qd < rd ? qd : rd));
+            w = mg < p->w ? mg : p->w;
+            if (qd - rd < w && rd - qd < w) { hit = i; break; }
+        }
+        if (hit >= 0) {
+            int i = k + 1;
+            while (i < c->seeds.n) {
+                if (srt[i] == 0) { ++i; continue; }
+                const seed_t *t = &c->seeds.a[srt[i] & 0xFFFFFFFF];
+                if ((double)t->len < s->len * 0.95) { ++i; continue; }
+                if (s->qbeg <= t->qbeg
+                    && s->qbeg + s->len - t->qbeg >= s->len >> 2
+                    && t->qbeg - s->qbeg != t->rbeg - s->rbeg)
+                    break;
+                if (t->qbeg <= s->qbeg
+                    && t->qbeg + t->len - s->qbeg >= s->len >> 2
+                    && s->qbeg - t->qbeg != s->rbeg - t->rbeg)
+                    break;
+                ++i;
+            }
+            if (i == c->seeds.n) { srt[k] = 0; continue; }
+        }
+        alnreg_t a;
+        memset(&a, 0, sizeof a);
+        int aw0 = f->w, aw1 = f->w;
+        a.w = f->w;
+        a.score = a.truesc = -1;
+        a.rid = c->rid;
+        /* subset slot of this seed, if enumerated for the device */
+        int slot = -1;
+        int sidx = (int)(srt[k] & 0xFFFFFFFF);
+        for (int t = 0; t < cc->n_subset; ++t)
+            if (cc->subset[t] == sidx) { slot = t; break; }
+        if (s->qbeg) { /* left extension */
+            extret_t L;
+            if (slot >= 0) {
+                L = cc->lres[slot];
+                aw0 = cc->laws[slot];
+            } else {
+                uint8_t *qs, *ts;
+                int qlen, tlen;
+                left_problem(ss, cc, s, &qs, &qlen, &ts, &tlen);
+                if (g_oom) return;
+                L = band_try(f, &ss->S, qs, qlen, ts, tlen, f->pen_clip5,
+                             s->len * f->a, -1, 0, 0, &aw0);
+                if (g_oom) return;
+            }
+            a.score = L.score;
+            if (L.gscore <= 0 || L.gscore <= a.score - f->pen_clip5) {
+                a.qb = s->qbeg - L.qle;
+                a.rb = s->rbeg - L.tle;
+                a.truesc = a.score;
+            } else {
+                a.qb = 0;
+                a.rb = s->rbeg - L.gtle;
+                a.truesc = L.gscore;
+            }
+        } else {
+            a.score = a.truesc = s->len * f->a;
+            a.qb = 0;
+            a.rb = s->rbeg;
+        }
+        if (s->qbeg + s->len != l_query) { /* right extension */
+            int sc0 = a.score;
+            int qe = s->qbeg + s->len;
+            int64_t re = s->rbeg + s->len - cc->rmax0;
+            extret_t R;
+            if (slot >= 0 && cc->rdone[slot]) {
+                R = cc->rres[slot];
+                aw1 = cc->raws[slot];
+            } else {
+                R = band_try(f, &ss->S, query + qe, l_query - qe,
+                             cc->rseq + re,
+                             (int)(cc->rmax1 - cc->rmax0 - re),
+                             f->pen_clip3, sc0, sc0, 0, 0, &aw1);
+                if (g_oom) return;
+            }
+            a.score = R.score;
+            if (R.gscore <= 0 || R.gscore <= a.score - f->pen_clip3) {
+                a.qe = qe + R.qle;
+                a.re = cc->rmax0 + re + R.tle;
+                a.truesc += a.score - sc0;
+            } else {
+                a.qe = l_query;
+                a.re = cc->rmax0 + re + R.gtle;
+                a.truesc += R.gscore - sc0;
+            }
+        } else {
+            a.qe = l_query;
+            a.re = s->rbeg + s->len;
+        }
+        a.seedcov = 0;
+        for (int t = 0; t < c->seeds.n; ++t) {
+            const seed_t *u = &c->seeds.a[t];
+            if (u->qbeg >= a.qb && u->qbeg + u->len <= a.qe
+                && u->rbeg >= a.rb && u->rbeg + u->len <= a.re)
+                a.seedcov += u->len;
+        }
+        a.w = aw0 > aw1 ? aw0 : aw1;
+        a.seedlen0 = s->len;
+        a.frac_rep = c->frac_rep;
+        a.secondary = -1;
+        rv_push(av, a);
+        if (g_oom) return;
+    }
+}
+
+EXPORT int fin_chain_finish(void *sess_, const int32_t *right_r,
+                            const uint8_t *right_has, alnreg_t **regs_out,
+                            int64_t *reg_off_out /* n_reads+1 */) {
+    chainsess_t *ss = (chainsess_t *)sess_;
+    fin_t *f = ss->f;
+    g_oom = 0;
+    /* resolve right jobs */
+    for (long ji = 0; ji < ss->right.n; ++ji) {
+        const job_t *j = &ss->right.a[ji];
+        cctx_t *cc = &ss->ctx[j->ctx];
+        const chain_t *c = &ss->chains[cc->b].a[cc->ci];
+        const seed_t *s = &c->seeds.a[cc->subset[j->slot]];
+        int l_query = (int)(ss->seq_off[cc->b + 1] - ss->seq_off[cc->b]);
+        const uint8_t *query = ss->seqs + ss->seq_off[cc->b];
+        int qe = s->qbeg + s->len;
+        int64_t re = s->rbeg + s->len - cc->rmax0;
+        int sc0 = j->p[3];
+        cc->rres[j->slot] = band_try(
+            f, &ss->S, query + qe, l_query - qe, cc->rseq + re,
+            (int)(cc->rmax1 - cc->rmax0 - re), f->pen_clip3, sc0, sc0,
+            right_r + 12 * ji, right_has[ji], &cc->raws[j->slot]);
+        cc->rdone[j->slot] = 1;
+        if (g_oom) return -1;
+    }
+    /* chain2aln per read in chain order, then dedup + alt marking */
+    regvec_t *avs = (regvec_t *)calloc((size_t)ss->n_reads,
+                                       sizeof(regvec_t));
+    if (!avs) return -1;
+    int xi = 0;
+    int64_t total = 0;
+    for (int64_t b = 0; b < ss->n_reads; ++b) {
+        regvec_t *av = &avs[b];
+        const chainvec_t *cv = &ss->chains[b];
+        for (int ci = 0; ci < cv->n; ++ci) {
+            if (cv->a[ci].seeds.n == 0) continue;
+            /* ctx list is in (b, ci) order */
+            while (xi < ss->nctx
+                   && (ss->ctx[xi].b < b
+                       || (ss->ctx[xi].b == b && ss->ctx[xi].ci < ci)))
+                ++xi;
+            if (xi < ss->nctx && ss->ctx[xi].b == b
+                && ss->ctx[xi].ci == ci) {
+                c_chain2aln(ss, &ss->ctx[xi], av);
+                if (g_oom) goto fail;
+            }
+        }
+        mem_sort_dedup_patch(f, &ss->S, 1, ss->seqs + ss->seq_off[b], av);
+        if (g_oom) goto fail;
+        for (int i = 0; i < av->n; ++i)
+            if (av->a[i].rid >= 0 && f->ann_is_alt[av->a[i].rid])
+                av->a[i].is_alt = 1;
+        total += av->n;
+    }
+    {
+        alnreg_t *regs = (alnreg_t *)malloc(
+            (size_t)(total ? total : 1) * sizeof(alnreg_t));
+        if (!regs) goto fail;
+        int64_t off = 0;
+        for (int64_t b = 0; b < ss->n_reads; ++b) {
+            reg_off_out[b] = off;
+            memcpy(regs + off, avs[b].a,
+                   (size_t)avs[b].n * sizeof(alnreg_t));
+            off += avs[b].n;
+            free(avs[b].a);
+        }
+        reg_off_out[ss->n_reads] = off;
+        free(avs);
+        *regs_out = regs;
+        return 0;
+    }
+fail:
+    for (int64_t b = 0; b < ss->n_reads; ++b) free(avs[b].a);
+    free(avs);
+    return -1;
+}
+
+EXPORT void fin_chain_end(void *sess_) {
+    chainsess_t *ss = (chainsess_t *)sess_;
+    if (!ss) return;
+    for (int i = 0; i < ss->nctx; ++i) {
+        cctx_t *cc = &ss->ctx[i];
+        free(cc->rseq); free(cc->srt); free(cc->subset); free(cc->lres);
+        free(cc->laws); free(cc->rres); free(cc->raws); free(cc->rdone);
+    }
+    free(ss->ctx);
+    if (ss->chains) {
+        for (int64_t b = 0; b < ss->n_reads; ++b) {
+            for (int ci = 0; ci < ss->chains[b].n; ++ci)
+                free(ss->chains[b].a[ci].seeds.a);
+            free(ss->chains[b].a);
+        }
+        free(ss->chains);
+    }
+    free(ss->left.a);
+    free(ss->right.a);
+    free(ss->coords_out);
+    free(ss->params_out);
+    scr_destroy(&ss->S);
+    free(ss);
+}
+
+/* mem_pestat over packed regions (spec: core/pair.py:61-132, the _cal_sub
+ * + direction/insert collection; percentiles stay in the Python caller
+ * which already has introsort_64 — no: fully here, simplest) */
+EXPORT void fin_pestat(void *ctx_, const alnreg_t *regs,
+                       const int64_t *reg_off, int64_t n_reads, int max_ins,
+                       int32_t *pes_i /*4x3*/, double *pes_f /*4x2*/,
+                       int64_t *iso_out /*4 counts*/, int64_t **isizes_out) {
+    /* collects per-orientation insert sizes; the percentile/refinement
+     * math runs in Python (identical either way — plain doubles) */
+    fin_t *f = (fin_t *)ctx_;
+    int64_t cap = n_reads ? n_reads : 1;
+    int64_t *buf = (int64_t *)malloc((size_t)cap * 4 * 8);
+    int64_t cnt[4] = {0, 0, 0, 0};
+    if (!buf) { *isizes_out = 0; return; }
+    for (int64_t i = 0; i < n_reads >> 1; ++i) {
+        const alnreg_t *r0 = regs + reg_off[i << 1];
+        int n0 = (int)(reg_off[(i << 1) + 1] - reg_off[i << 1]);
+        const alnreg_t *r1 = regs + reg_off[(i << 1) | 1];
+        int n1 = (int)(reg_off[(i << 1) + 2] - reg_off[(i << 1) | 1]);
+        if (!n0 || !n1) continue;
+        /* cal_sub (spec: core/pair.py:61-72) */
+        int sub0 = f->min_seed_len * f->a, sub1 = sub0;
+        for (int j = 1; j < n0; ++j) {
+            int b_max = r0[j].qb > r0[0].qb ? r0[j].qb : r0[0].qb;
+            int e_min = r0[j].qe < r0[0].qe ? r0[j].qe : r0[0].qe;
+            if (e_min > b_max) {
+                int l0 = r0[j].qe - r0[j].qb, l1 = r0[0].qe - r0[0].qb;
+                int min_l = l0 < l1 ? l0 : l1;
+                if ((float)(e_min - b_max)
+                    >= (float)((float)min_l * (float)f->mask_level)) {
+                    sub0 = r0[j].score;
+                    break;
+                }
+            }
+        }
+        if ((double)sub0 > 0.8 * r0[0].score) continue;
+        for (int j = 1; j < n1; ++j) {
+            int b_max = r1[j].qb > r1[0].qb ? r1[j].qb : r1[0].qb;
+            int e_min = r1[j].qe < r1[0].qe ? r1[j].qe : r1[0].qe;
+            if (e_min > b_max) {
+                int l0 = r1[j].qe - r1[j].qb, l1 = r1[0].qe - r1[0].qb;
+                int min_l = l0 < l1 ? l0 : l1;
+                if ((float)(e_min - b_max)
+                    >= (float)((float)min_l * (float)f->mask_level)) {
+                    sub1 = r1[j].score;
+                    break;
+                }
+            }
+        }
+        if ((double)sub1 > 0.8 * r1[0].score) continue;
+        if (r0[0].rid != r1[0].rid) continue;
+        int64_t dist;
+        int d = mem_infer_dir(f->l_pac, r0[0].rb, r1[0].rb, &dist);
+        if (dist && dist <= max_ins)
+            buf[d * cap + cnt[d]++] = dist;
+    }
+    for (int d = 0; d < 4; ++d) iso_out[d] = cnt[d];
+    *isizes_out = buf;
+    (void)pes_i;
+    (void)pes_f;
 }

@@ -39,16 +39,18 @@ SAM, BAM, BGZF = 2, 1, 0  # write_format codes (mainParallel.c:225)
 
 
 def compress_chunk(data: bytes, level: int = 3) -> bytes:
-    """One chunk's text as a self-contained run of BGZF blocks (ends on a
-    block boundary, like the reference's per-chunk
-    compress_and_write_bgzf_thread packing, parallel_aux.c:2941-3073).
-    Chunk-aligned block boundaries are what make the byte extents in shard
-    manifests meaningful for compressed outputs."""
-    out = bytearray()
-    step = bgzf_mod._PAYLOAD_MAX
-    for off in range(0, len(data), step):
-        out += bgzf_mod.bgzf_block(data[off : off + step], level)
-    return bytes(out)
+    """One text blob as a self-contained run of BGZF blocks (used for
+    headers; record streams go through compress_records). Chunk-aligned
+    block boundaries are what make the byte extents in shard manifests
+    meaningful for compressed outputs."""
+    return bgzf_mod.pack_records([data], level)
+
+
+def compress_records(records, level: int = 3) -> bytes:
+    """One chunk's per-read SAM records as a self-contained BGZF run with
+    the reference's line-boundary packing (whole records per block,
+    parallel_aux.c:2941-3073)."""
+    return bgzf_mod.pack_records(records, level)
 
 
 class _OrderedWriter:
@@ -281,10 +283,10 @@ class Runtime:
                 if dofixmate and plan.is_pe:
                     apply_fixmate(batch, self.idx.anns)
                 t3 = time.time()
-                text = "".join(s.sam for s in batch)
+                records = [s.sam.encode() for s in batch]
                 for s in batch:
                     s.sam = None  # free
-                payload = encode(text)
+                payload = encode(records)
                 size = ({fi: len(b) for fi, b in payload.items()}
                         if isinstance(payload, dict) else len(payload))
                 with lock:
@@ -334,15 +336,16 @@ class Runtime:
         header = hdr_mod.sam_header(self.idx.anns, hdr_line, rg_line, pg_line)
         if write_format == SAM:
             hdr_bytes = header.encode()
-            encode = lambda text: text.encode()  # noqa: E731
+            encode = lambda recs: b"".join(recs)  # noqa: E731
         else:
             # BAM mode here is BGZF-of-SAM-text like the reference
             # (mainParallel.c:1509-1516, SURVEY §1-L3); each chunk is a
-            # self-contained block run so shard manifests record real
+            # self-contained block run (whole read records per block,
+            # parallel_aux.c:2941-3073) so shard manifests record real
             # compressed extents
             hdr_bytes = compress_chunk(header.encode(), compression_level)
-            encode = lambda text: compress_chunk(text.encode(),  # noqa: E731
-                                                 compression_level)
+            encode = lambda recs: compress_records(recs,  # noqa: E731
+                                                   compression_level)
         self.header_len = len(hdr_bytes)
         if self.shard == 0:
             f.write(hdr_bytes)  # only shard 0 carries the header
@@ -388,13 +391,15 @@ class Runtime:
                 fh.write(hdr_bytes)  # full @SQ set per file (:2677-2687)
             files.append(fh)
 
-        def encode(text: str):
-            routed = router.route_text(text)
+        def encode(records):
+            routed = router.route_text(b"".join(records).decode())
             out = {}
             for fi, lines in routed.items():
-                data = "".join(lines).encode()
-                out[fi] = (data if write_format == SAM
-                           else compress_chunk(data, compression_level))
+                if write_format == SAM:
+                    out[fi] = "".join(lines).encode()
+                else:  # whole lines per block (line-boundary packing)
+                    out[fi] = bgzf_mod.pack_records(
+                        [ln.encode() for ln in lines], compression_level)
             return out
 
         def sink(payload: Dict[int, bytes]):

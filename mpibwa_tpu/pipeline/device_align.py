@@ -98,6 +98,7 @@ class DeviceAligner:
             if jax.default_backend() != "cpu":
                 self.ext_ab = standard_mat_ab(opt.mat)
         self._finalizer = None
+        self._chainer = None
         self._skip_cigar_precompute = False
 
     def _native_finalizer(self):
@@ -107,6 +108,211 @@ class DeviceAligner:
 
             self._finalizer = NativeFinalizer(self.refs, self.opt)
         return self._finalizer if self._finalizer.available else None
+
+    def _native_chainer(self):
+        """Native (C) chain stage, or None -> exact Python chaining."""
+        fin = self._native_finalizer()
+        if fin is None:
+            return None
+        if self._chainer is None:
+            from mpibwa_tpu.pipeline.native_final import NativeChainer
+
+            self._chainer = NativeChainer(fin)
+        return self._chainer if self._chainer.available else None
+
+    # -- native-chain driver --------------------------------------------------
+
+    def _pack_mems(self, mems):
+        """Flatten per-read interval lists + the SA-resolution enumeration
+        (the exact _resolve_sa loop: k = j*step for j < min(ceil(x2/step),
+        max_occ)) into the arrays the C session takes — vectorized."""
+        opt = self.opt
+        rows = []
+        mem_off = np.zeros(len(mems) + 1, np.int64)
+        for b, mem in enumerate(mems):
+            if mem:
+                rows.extend(mem)
+            mem_off[b + 1] = len(rows)
+        flat = (np.array(rows, np.int64).reshape(-1, 4)
+                if rows else np.zeros((0, 4), np.int64))
+        x0, x2 = flat[:, 0], flat[:, 2]
+        step = np.where(x2 > opt.max_occ, x2 // max(opt.max_occ, 1), 1)
+        count = np.minimum(-(-x2 // np.maximum(step, 1)), opt.max_occ)
+        count = np.where(x2 > 0, count, 0)
+        total = int(count.sum())
+        # ks = x0[i] + step[i] * arange(count[i]), concatenated
+        ends = np.cumsum(count)
+        starts = ends - count
+        j = np.arange(total, dtype=np.int64) - np.repeat(starts, count)
+        ks = np.repeat(x0, count) + np.repeat(step, count) * j
+        # per-read sa offsets from per-interval counts
+        sa_off = np.zeros(len(mems) + 1, np.int64)
+        csum = np.concatenate([[0], ends])
+        sa_off[1:] = csum[mem_off[1:]]
+        return flat, mem_off, ks, sa_off
+
+    def _sa_flat(self, ks):
+        import jax.numpy as jnp
+
+        if len(ks) == 0:
+            return np.zeros(0, np.int64)
+        n = len(ks)
+        cap = 1 << max(8, (n - 1).bit_length())
+        arr = np.zeros(cap, dtype=np.int64)
+        arr[:n] = ks
+        return np.ascontiguousarray(
+            np.asarray(self.dfm.sa_lookup_jit(jnp.asarray(arr)))[:n],
+            dtype=np.int64)
+
+    def _ext_rows_run(self, c, p, maxq, maxt):
+        """Array variant of _ext_coords_run: (n,6),(n,4) -> (n,6) int32."""
+        import jax.numpy as jnp
+
+        from mpibwa_tpu.ops.extend_batch import extend_from_coords
+
+        opt = self.opt
+        B = len(c)
+        Q = _round_up(maxq, self.Q_BUCKETS)
+        T = _round_up(maxt, self.T_BUCKETS)
+        Bp = 1 << max(4, (B - 1).bit_length())
+        cc = np.zeros((Bp, 6), np.int32)
+        pp = np.zeros((Bp, 4), np.int32)
+        pp[:, 3] = 1
+        cc[:, 2] = 1
+        cc[:B] = c
+        pp[:B] = p
+        order = np.argsort(cc[:B, 5], kind="stable")
+        cc[:B] = cc[:B][order]
+        pp[:B] = pp[:B][order]
+        out = extend_from_coords(self.dfm, self._qd, jnp.asarray(cc), Q, T,
+                                 jnp.asarray(pp), opt.o_del, opt.e_del,
+                                 opt.o_ins, opt.e_ins, self.ext_ab,
+                                 self.mat55d)
+        if self.ext_ab is not None:
+            res = np.asarray(out).T[:, :6].astype(np.int32)
+        else:
+            res = np.stack([np.asarray(x) for x in out],
+                           axis=1).astype(np.int32)
+        inv = np.empty(B, np.int64)
+        inv[order] = np.arange(B)
+        return res[inv]
+
+    def _ext_rows(self, coords, params):
+        """Device extension rounds for the C chain session: returns
+        ((B,12) int32 [r0|r1] rows, (B,) uint8 has-bits). Oversize problems
+        (beyond the bucket ladder) get no bits — the C side runs the exact
+        scalar kernel for them."""
+        B = len(coords)
+        out_r = np.zeros((B, 12), np.int32)
+        has = np.zeros(B, np.uint8)
+        if B == 0:
+            return out_r, has
+        qcap, tcap = self.Q_BUCKETS[-1], self.T_BUCKETS[-1]
+        small = np.nonzero((coords[:, 2] <= qcap)
+                           & (coords[:, 5] <= tcap))[0]
+        if len(small) == 0:
+            return out_r, has
+        self.stats["ext_problems"] += int(len(small))
+        c = coords[small]
+        p = params[small]
+        maxq = int(c[:, 2].max())
+        maxt = max(int(c[:, 5].max()), 1)
+        r0 = self._ext_rows_run(c, p, maxq, maxt)
+        out_r[small, :6] = r0
+        has[small] |= 1
+        w = self.opt.w
+        thr = (w >> 1) + (w >> 2)
+        retry = small[~(r0[:, 5] < thr)]
+        if len(retry):
+            p1 = params[retry].copy()
+            p1[:, 0] = w << 1
+            r1 = self._ext_rows_run(coords[retry], p1, maxq, maxt)
+            out_r[retry, 6:] = r1
+            has[retry] |= 2
+        return out_r, has
+
+    def _align_arrays_inner(self, seqs, chainer):
+        """Native-chain variant of _align_regs_inner: returns
+        (regs packed array, reg_off) or None -> Python path."""
+        import time as _time
+
+        t = self.stats.setdefault("t", {})
+        t0 = _time.time()
+        mems, fallback = self.seeder.collect_batch([s.seq for s in seqs])
+        self._qd = self.seeder.last_qd
+        t["seed"] = t.get("seed", 0) + _time.time() - t0
+        self.stats["fallback_reads"] += int(fallback.sum())
+        t0 = _time.time()
+        mems_flat, mem_off, ks, sa_off = self._pack_mems(mems)
+        sa_vals = self._sa_flat(ks)
+        t["sa"] = t.get("sa", 0) + _time.time() - t0
+        t0 = _time.time()
+        res = chainer.run(seqs, (mems_flat, mem_off), sa_vals, sa_off,
+                          self._ext_rows, self.MAX_SEEDS_PER_CHAIN)
+        if res is None:
+            return None
+        regs, reg_off = res
+        fb = [b for b, m in enumerate(mems) if m is None]
+        if fb:
+            from mpibwa_tpu.pipeline.native_final import regs_to_array
+
+            lists = {b: mem_align1_core(self.opt, self.fm, self.refs,
+                                        seqs[b].seq) for b in fb}
+            counts = np.diff(reg_off)
+            for b in fb:
+                counts[b] = len(lists[b])
+            new_off = np.zeros(len(seqs) + 1, np.int64)
+            np.cumsum(counts, out=new_off[1:])
+            new_regs = np.zeros(int(new_off[-1]), regs.dtype)
+            for b in range(len(seqs)):
+                if b in lists:
+                    arr, _ = regs_to_array([lists[b]])
+                    new_regs[new_off[b]:new_off[b + 1]] = arr
+                else:
+                    new_regs[new_off[b]:new_off[b + 1]] = \
+                        regs[reg_off[b]:reg_off[b + 1]]
+            regs, reg_off = new_regs, new_off
+        t["chain"] = t.get("chain", 0) + _time.time() - t0
+        return regs, reg_off
+
+    def align_arrays(self, seqs):
+        """Microbatched native-chain alignment: packed regions for the
+        whole batch, or None -> caller uses the Python path."""
+        chainer = self._native_chainer()
+        if chainer is None:
+            return None
+        MB = self.MICROBATCH
+        parts = []
+        for off in range(0, len(seqs), MB):
+            sub = seqs[off : off + MB]
+            if 0 < len(sub) < MB and len(sub) >= 256:
+                cap = 256
+                while cap < len(sub):
+                    cap <<= 1
+                pad_n = min(cap, MB) - len(sub)
+                dummy = BSeq(name="__pad__", seq=np.zeros(8, np.uint8),
+                             qual="IIIIIIII")
+                padded = list(sub) + [dummy] * pad_n
+                res = self._align_arrays_inner(padded, chainer)
+                if res is not None:
+                    regs, reg_off = res
+                    regs = regs[: reg_off[len(sub)]]
+                    reg_off = reg_off[: len(sub) + 1]
+                    res = (regs, reg_off)
+            else:
+                res = self._align_arrays_inner(sub, chainer)
+            if res is None:
+                return None
+            parts.append(res)
+        if len(parts) == 1:
+            return parts[0]
+        regs = np.concatenate([p[0] for p in parts])
+        offs = [parts[0][1]]
+        base = parts[0][1][-1]
+        for p in parts[1:]:
+            offs.append(p[1][1:] + base)
+            base += p[1][-1]
+        return regs, np.concatenate(offs)
 
     # -- phase 2: SA resolution ---------------------------------------------
 
@@ -398,6 +604,40 @@ class DeviceAligner:
             t["cigar"] = t.get("cigar", 0) + _time.time() - t0
         return regs_all
 
+    def _process_seqs_native(self, seqs, n_processed, pes0, rg_id) -> bool:
+        """All-native record path: device seeding/SA/extension arrays in,
+        SAM text out, with chaining + finalization in C. Returns False ->
+        caller runs the Python record path."""
+        import time as _time
+
+        opt = self.opt
+        chainer = self._native_chainer()
+        if chainer is None or not seqs:
+            return False
+        t = self.stats.setdefault("t", {})
+        arrays = self.align_arrays(seqs)
+        if arrays is None:
+            return False
+        regs, reg_off = arrays
+        t0 = _time.time()
+        if opt.flag & O.MEM_F_PE:
+            from mpibwa_tpu.core.pair import pestat_from_isize
+
+            if pes0 is not None:
+                pes = pes0
+            else:
+                iso = chainer.pestat_isizes(regs, reg_off, opt.max_ins)
+                if iso is None:
+                    return False
+                pes = pestat_from_isize(iso)
+            ok = chainer.finalize_packed(seqs, regs, reg_off, True,
+                                         n_processed >> 1, rg_id, pes)
+        else:
+            ok = chainer.finalize_packed(seqs, regs, reg_off, False,
+                                         n_processed, rg_id)
+        t["emit"] = t.get("emit", 0) + _time.time() - t0
+        return ok
+
     def process_seqs(self, seqs: List[BSeq], n_processed: int = 0,
                      pes0=None, rg_id: str = "") -> None:
         from mpibwa_tpu.core.cigar import set_cigar_cache
@@ -405,6 +645,8 @@ class DeviceAligner:
         opt, refs = self.opt, self.refs
         import time as _time
 
+        if self._process_seqs_native(seqs, n_processed, pes0, rg_id):
+            return
         fin = self._native_finalizer()
         self._pending_cigar_cache = {}
         self._skip_cigar_precompute = fin is not None

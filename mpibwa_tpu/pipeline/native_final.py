@@ -33,7 +33,8 @@ assert REG_DTYPE.itemsize == 96  # must match alnreg_t in finalize.c
 OPT_INT_FIELDS = ("a", "b", "o_del", "e_del", "o_ins", "e_ins", "pen_clip5",
                   "pen_clip3", "pen_unpaired", "w", "zdrop", "T", "flag",
                   "min_seed_len", "max_matesw", "max_XA_hits",
-                  "max_XA_hits_alt", "max_chain_gap", "mapQ_coef_fac")
+                  "max_XA_hits_alt", "max_chain_gap", "mapQ_coef_fac",
+                  "min_chain_weight", "max_chain_extend", "max_occ")
 OPT_FLT_FIELDS = ("mask_level", "drop_ratio", "XA_drop_ratio",
                   "mask_level_redun", "mapQ_coef_len")
 
@@ -208,3 +209,164 @@ class NativeFinalizer:
         for i, s in enumerate(seqs):
             s.sam = blob[out_off[i]:out_off[i + 1]].decode()
         return True
+
+
+class NativeChainer:
+    """Driver for the C chaining session (finalize.c chain stage): chains,
+    chain filtering and region building run in C; the two extension rounds
+    (left, right) run on the device between the calls. Shares the C context
+    with NativeFinalizer."""
+
+    def __init__(self, fin: NativeFinalizer):
+        self.fin = fin
+
+    @property
+    def available(self) -> bool:
+        return (self.fin.available
+                and os.environ.get("MPIBWA_CHAIN", "native") == "native")
+
+    def _copy_i32(self, ptr, n, cols):
+        if n == 0 or not ptr:
+            return np.zeros((0, cols), np.int32)
+        buf = ctypes.string_at(ptr, int(n) * cols * 4)
+        return np.frombuffer(buf, np.int32).reshape(int(n), cols).copy()
+
+    def run(self, seqs, mems, sa_vals, sa_off, ext_rows, max_subset):
+        """mems: flat (M,4) int64 + offsets; sa_vals flat int64 aligned with
+        the enumeration; ext_rows(coords, params) -> ((B,12) int32 rows,
+        (B,) uint8 has-bits) runs the device extension rounds.
+        Returns (regs structured array, reg_off int64[n+1]) or None."""
+        if not self.fin._ensure_ctx():
+            return None
+        lib = self.fin.lib
+        mems_flat, mem_off = mems
+        n = len(seqs)
+        blobs = self.fin._pack_blobs(seqs)
+        seq_blob, seq_off = blobs[0], blobs[1]
+        n_left = np.zeros(1, np.int64)
+        coords_p = ctypes.c_void_p()
+        params_p = ctypes.c_void_p()
+        sess = lib.fin_chain_begin(
+            self.fin.ctx, ctypes.c_int64(n), _vp(seq_blob), _vp(seq_off),
+            _vp(mems_flat), _vp(mem_off), _vp(sa_vals), _vp(sa_off),
+            ctypes.c_int(max_subset), _vp(n_left), ctypes.byref(coords_p),
+            ctypes.byref(params_p))
+        if not sess:
+            return None
+        try:
+            if n_left[0] < 0:
+                return None
+            coords = self._copy_i32(coords_p.value, n_left[0], 6)
+            params = self._copy_i32(params_p.value, n_left[0], 4)
+            left_r, left_has = ext_rows(coords, params)
+            n_right = np.zeros(1, np.int64)
+            rc = lib.fin_chain_rights(sess, _vp(left_r), _vp(left_has),
+                                      _vp(n_right), ctypes.byref(coords_p),
+                                      ctypes.byref(params_p))
+            if rc != 0:
+                return None
+            coords = self._copy_i32(coords_p.value, n_right[0], 6)
+            params = self._copy_i32(params_p.value, n_right[0], 4)
+            right_r, right_has = ext_rows(coords, params)
+            regs_p = ctypes.c_void_p()
+            reg_off = np.zeros(n + 1, np.int64)
+            rc = lib.fin_chain_finish(sess, _vp(right_r), _vp(right_has),
+                                      ctypes.byref(regs_p), _vp(reg_off))
+            if rc != 0:
+                return None
+            n_regs = int(reg_off[n])
+            if n_regs:
+                buf = ctypes.string_at(regs_p.value,
+                                       n_regs * REG_DTYPE.itemsize)
+                regs = np.frombuffer(buf, REG_DTYPE).copy()
+            else:
+                regs = np.zeros(0, REG_DTYPE)
+            lib.fin_buf_free(regs_p)
+            return regs, reg_off
+        finally:
+            lib.fin_chain_end(sess)
+
+    def pestat_isizes(self, regs, reg_off, max_ins):
+        """C insert-size collection (cal_sub + direction windows); returns
+        the four per-orientation isize lists, or None."""
+        if not self.fin._ensure_ctx():
+            return None
+        lib = self.fin.lib
+        n = len(reg_off) - 1
+        cnt = np.zeros(4, np.int64)
+        pes_i = np.zeros(12, np.int32)
+        pes_f = np.zeros(8, np.float64)
+        buf_p = ctypes.c_void_p()
+        lib.fin_pestat(self.fin.ctx, _vp(regs), _vp(reg_off),
+                       ctypes.c_int64(n), ctypes.c_int(max_ins), _vp(pes_i),
+                       _vp(pes_f), _vp(cnt), ctypes.byref(buf_p))
+        if not buf_p:
+            return None
+        cap = max(n, 1)
+        raw = np.frombuffer(ctypes.string_at(buf_p.value, cap * 4 * 8),
+                            np.int64).reshape(4, cap)
+        out = [raw[d, : cnt[d]].tolist() for d in range(4)]
+        lib.fin_buf_free(buf_p)
+        return out
+
+    def finalize_packed(self, seqs, regs, reg_off, pe, n_processed, rg_id,
+                        pes=None) -> bool:
+        """fin_batch over already-packed regions (the native-chain output)."""
+        fin = self.fin
+        if not fin._ensure_ctx():
+            return False
+        n = len(seqs)
+        (seq_blob, seq_off, qual_blob, qual_off, name_blob, name_off,
+         com_blob, com_off) = fin._pack_blobs(seqs)
+        if pe:
+            pes_i = np.array([[p.low, p.high, p.failed] for p in pes],
+                             np.int32).ravel()
+            pes_f = np.array([[p.avg, p.std] for p in pes],
+                             np.float64).ravel()
+        else:
+            pes_i = np.zeros(12, np.int32)
+            pes_f = np.ones(8, np.float64)
+        regs = np.ascontiguousarray(regs)
+        out_blob = ctypes.c_void_p()
+        out_off = np.zeros(n + 1, np.int64)
+        rc = fin.lib.fin_batch(
+            fin.ctx, ctypes.c_int(1 if pe else 0), ctypes.c_int64(n),
+            _vp(seq_blob), _vp(seq_off), _vp(qual_blob), _vp(qual_off),
+            _vp(name_blob), _vp(name_off), _vp(com_blob), _vp(com_off),
+            _vp(regs), _vp(reg_off), ctypes.c_int64(n_processed),
+            rg_id.encode() if rg_id else b"", _vp(pes_i), _vp(pes_f),
+            ctypes.byref(out_blob), _vp(out_off))
+        if rc != 0:
+            return False
+        try:
+            blob = ctypes.string_at(out_blob, int(out_off[n]))
+        finally:
+            fin.lib.fin_buf_free(out_blob)
+        for i, s in enumerate(seqs):
+            s.sam = blob[out_off[i]:out_off[i + 1]].decode()
+        return True
+
+
+def regs_to_array(regs_lists):
+    """AlnReg lists -> (packed REG_DTYPE array, int64 offsets)."""
+    return NativeFinalizer._pack_regs(regs_lists)
+
+
+def array_to_regs(regs, reg_off):
+    """Packed regions -> per-read AlnReg lists (compat shim for callers of
+    the public align_regs API)."""
+    from mpibwa_tpu.core.region import AlnReg
+
+    out = []
+    names = [n for n in REG_DTYPE.names]
+    for b in range(len(reg_off) - 1):
+        lst = []
+        for i in range(int(reg_off[b]), int(reg_off[b + 1])):
+            row = regs[i]
+            r = AlnReg()
+            for nm in names:
+                setattr(r, nm, (float(row[nm]) if nm == "frac_rep"
+                                else int(row[nm])))
+            lst.append(r)
+        out.append(lst)
+    return out

@@ -127,3 +127,37 @@ def test_batch_pe_native_vs_python(lib, index):
         return interleave(r1, r2)
 
     _run_both(al, load(), load(), n_processed=0)
+
+
+def test_batch_native_chain_vs_python_chain(lib, index):
+    """The all-C record path (fin_chain_* session + fin_batch) must equal
+    the Python chain + native-final path byte for byte, SE and PE."""
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    for pe in (False, True):
+        opt = mem_opt_init()
+        if pe:
+            opt.flag |= MEM_F_PE
+        al = DeviceAligner(index, opt)
+
+        def load():
+            r1 = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=240)
+            if not pe:
+                return r1
+            r2 = read_fastq(fastq_path("HCC1187C_R2_10K.fastq"), limit=240)
+            return interleave(r1, r2)
+
+        a = load()
+        assert al._process_seqs_native(a, 6 if not pe else 0, None, "")
+        b = load()
+        ch = al._native_chainer()
+        import os as _os
+
+        _os.environ["MPIBWA_CHAIN"] = "python"
+        try:
+            assert not ch.available
+            al.process_seqs(b, n_processed=6 if not pe else 0)
+        finally:
+            _os.environ.pop("MPIBWA_CHAIN")
+        for x, y in zip(a, b):
+            assert x.sam == y.sam, (pe, x.name, x.sam, y.sam)

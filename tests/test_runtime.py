@@ -463,3 +463,56 @@ def test_cli_launch_multihost_local_groups(idx_prefix, tmp_path):
                  "-K", "2000", "-o", str(out2), idx_prefix, str(sub)]) == 0
     strip = lambda p: [l for l in open(p) if not l.startswith("@PG")]
     assert strip(str(out2) + ".sam") == strip(str(out1) + ".sam")
+
+
+def test_bgzf_line_boundary_packing():
+    """pack_records must follow the reference writer's packing rules
+    (parallel_aux.c:3000-3057): greedy whole-record blocks bounded by the
+    64 KiB uncompressed payload; the overflowing record starts the next
+    block; concatenation reproduces the input exactly."""
+    import struct
+    import zlib
+
+    from mpibwa_tpu.io.bgzf import MAX_BLOCK_SIZE, pack_records
+
+    rng = __import__("numpy").random.default_rng(3)
+    records = []
+    for i in range(3000):
+        ln = int(rng.integers(40, 400))
+        records.append((f"r{i}\t" + "A" * ln + "\n").encode())
+    blob = pack_records(records, level=3)
+
+    # walk the BGZF blocks, decompress payloads
+    payloads = []
+    off = 0
+    while off < len(blob):
+        assert blob[off : off + 4] == b"\x1f\x8b\x08\x04"
+        bsize = struct.unpack("<H", blob[off + 16 : off + 18])[0] + 1
+        comp = blob[off + 18 : off + bsize - 8]
+        payloads.append(zlib.decompress(comp, -15))
+        off += bsize
+    assert b"".join(payloads) == b"".join(records)
+
+    # block boundaries fall on record boundaries, greedily filled
+    bounds = set()
+    acc = 0
+    for r in records:
+        acc += len(r)
+        bounds.add(acc)
+    pos = 0
+    for k, p in enumerate(payloads):
+        assert len(p) <= MAX_BLOCK_SIZE
+        pos += len(p)
+        assert pos in bounds, f"block {k} does not end on a record boundary"
+        if k + 1 < len(payloads):  # greedy: next record would overflow
+            nxt = len(payloads[k + 1])
+            first_next = None
+            # find length of the first record of the next block
+            acc2 = 0
+            for r in records:
+                acc2 += len(r)
+                if acc2 > pos:
+                    first_next = len(r)
+                    break
+            assert len(p) + first_next > MAX_BLOCK_SIZE
+            del nxt
