@@ -62,6 +62,38 @@ def _pack_pass3(p3):
     return pack(p3.overflow, p3.n_seeds, p3.seeds, p3.infos)
 
 
+def _fused_p1_p3(fm, qd, lensd, min_seed_len, max_intv):
+    """Pass-1 forward + pass-3 automata in ONE jitted call: one dispatch and
+    one packed pull instead of two (each device->host round trip costs
+    ~40-100 ms on a tunnel-attached chip). Returns (ivals, infos,
+    (B, fwd_cols + p3_cols) int64)."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def run(fm, qd, lensd, msl, mmi):
+        B = qd.shape[0]
+        fwd = seeding.forward_pass(fm, qd, lensd,
+                                   jnp.ones(B, jnp.int64), True)
+        pf = jnp.concatenate(
+            [fwd.overflow.astype(jnp.int64)[:, None],
+             fwd.n_calls.astype(jnp.int64)[:, None],
+             fwd.call_x.astype(jnp.int64), fwd.call_start.astype(jnp.int64),
+             fwd.call_len.astype(jnp.int64)], axis=1)
+        p3 = seeding.pass3(fm, qd, lensd, msl, mmi)
+        S = p3.infos.shape[1]
+        p3p = jnp.concatenate(
+            [p3.overflow.astype(jnp.int64)[:, None],
+             p3.n_seeds.astype(jnp.int64)[:, None],
+             p3.seeds.astype(jnp.int64).reshape(B, 3 * S),
+             p3.infos.astype(jnp.int64)], axis=1)
+        return fwd.ivals, fwd.infos, jnp.concatenate([pf, p3p], axis=1)
+
+    return run(fm, qd, lensd, min_seed_len, max_intv)
+
+
 def _pack_fwd1(fwd):
     """Single-call variant: (B, 5) int32 = [overflow, n_calls, call_x[0],
     call_start[0], call_len[0]]."""
@@ -258,13 +290,20 @@ class DeviceSeeder:
         self.last_qd = qd  # reused by the extension/cigar coord kernels
         lensd = jnp.asarray(lens)
 
-        # ---- pass 1: chained smem1 calls ----
-        min1 = jnp.ones(B, dtype=jnp.int64)
-        fwd = seeding.forward_pass(self.dfm, qd, lensd, min1, True)
-        # ONE packed pull: every device->host pull pays full link latency
-        # (~40-100 ms on this tunnel), so the five per-pass outputs ride
-        # one array
-        packed = np.asarray(_pack_fwd(fwd))
+        # ---- pass 1 forward (+ pass 3, fused: one dispatch, one pull) ----
+        packed3 = None
+        if opt.max_mem_intv > 0:
+            ivals1, infos1, combined = _fused_p1_p3(
+                self.dfm, qd, lensd, opt.min_seed_len, opt.max_mem_intv)
+            combined = np.asarray(combined)  # ONE pull for both automata
+            fwd_cols = 2 + 3 * seeding.C_CAP
+            packed = combined[:, :fwd_cols]
+            packed3 = combined[:, fwd_cols:]
+        else:
+            min1 = jnp.ones(B, dtype=jnp.int64)
+            fwd = seeding.forward_pass(self.dfm, qd, lensd, min1, True)
+            packed = np.asarray(_pack_fwd(fwd))
+            ivals1, infos1 = fwd.ivals, fwd.infos
         C = (packed.shape[1] - 2) // 3
         fallback = packed[:, 0] != 0
         n_calls = packed[:, 1]
@@ -286,8 +325,8 @@ class DeviceSeeder:
              call_x[b_of, c_of].astype(np.int64),
              np.ones(len(b_of), np.int64)], axis=1)
         t0 = _mark("tables1", t0)
-        mems_l1 = self._run_backward_for_calls(qd, lanes1, fwd.ivals,
-                                               fwd.infos, fallback)
+        mems_l1 = self._run_backward_for_calls(qd, lanes1, ivals1,
+                                               infos1, fallback)
         t0 = _mark("bwd1", t0)
         pass1 = [[] for _ in range(B)]
         for ln, lane in enumerate(lanes1):
@@ -356,12 +395,9 @@ class DeviceSeeder:
                         pass2[b].append(iv)
 
         t0 = _mark("pass2", t0)
-        # ---- pass 3 ----
+        # ---- pass 3 (already computed in the fused pass-1 pull) ----
         pass3_out = [[] for _ in range(B)]
-        if opt.max_mem_intv > 0:
-            p3 = seeding.pass3(self.dfm, qd, lensd, opt.min_seed_len,
-                               opt.max_mem_intv)
-            packed3 = np.asarray(_pack_pass3(p3))  # one pull
+        if packed3 is not None:
             S3 = (packed3.shape[1] - 2) // 4
             for b in np.nonzero(packed3[:, 0])[0]:
                 fallback[b] = True
