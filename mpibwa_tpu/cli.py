@@ -16,9 +16,11 @@ MPIBWA_WORKERS=k (pipelined workers per device), MPIBWA_SHARD/MPIBWA_NSHARDS
 default 8192), MPIBWA_BWD=auto|v8|flat|contig|pallas (backward-SMEM engine;
 auto picks v8 on int32 indexes; `pallas` is experimental — its compiled
 Mosaic path is only diff-tested in interpret mode), MPIBWA_EXT=auto|xla
-(extension DP kernel), MPIBWA_FINAL=native|python (finalization runtime:
-the C library native/finalize.c vs the exact Python modules; both paths
-are byte-identical and golden-tested).
+(extension DP: device kernels, or `native` = every extension DP scalar in
+the C runtime — wins on tunnel-attached chips where link latency dominates),
+MPIBWA_FINAL=native|python and MPIBWA_CHAIN=native|python (host record
+stages: the C library native/finalize.c vs the exact Python modules; all
+combinations are byte-identical and golden-tested).
 
 The mem options replicate mainParallel.c:291-396 (bwa-mem surface + the
 tool flags -o/-f/-b/-g/-K/-z); -z is accepted as a placement hint (index

@@ -145,6 +145,18 @@ def scan_fastq(path: str, block: int = 8 << 20) -> FastqIndex:
                         np.uint8(prev_last))
                     lens1 = lens1 - (before == 13)
                 seq_lens.append(lens1.astype(np.int32))
+                # 4-line-record validation: every separator line must start
+                # with '+' (catches multi-line FASTQ, which would otherwise
+                # misparse silently; the reference's record-boundary
+                # heuristic, parallel_aux.c:307-318, makes the same
+                # assumption record-wise)
+                m2 = (nums % 4 == 2) & (starts >= pos) & (starts < nl)
+                plus_starts = (starts[m2] - pos).astype(np.int64)
+                if len(plus_starts) and not (arr[plus_starts] == 43).all():
+                    bad = int(plus_starts[arr[plus_starts] != 43][0]) + pos
+                    raise ValueError(
+                        f"not 4-line FASTQ (separator line at byte {bad} "
+                        f"does not start with '+'): {path}")
                 line_no += len(nl)
                 line_start = int(nl[-1]) + 1
             if len(arr) >= 2:
@@ -268,6 +280,13 @@ def _scan_range(path: str, start: int, end: int, block: int = 8 << 20):
                                       np.uint8(prev_last))
                     lens1 = lens1 - (before == 13)
                 seq_lens.append(lens1.astype(np.int32))
+                m2 = (nums % 4 == 2) & (starts >= pos) & (starts < nl)
+                plus_starts = (starts[m2] - pos).astype(np.int64)
+                if len(plus_starts) and not (arr[plus_starts] == 43).all():
+                    bad = int(plus_starts[arr[plus_starts] != 43][0]) + pos
+                    raise ValueError(
+                        f"not 4-line FASTQ (separator line at byte {bad} "
+                        f"does not start with '+'): {path}")
                 line_no += len(nl)
                 line_start = int(nl[-1]) + 1
             prev_last = int(arr[-1]) if len(arr) else prev_last

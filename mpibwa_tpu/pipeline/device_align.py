@@ -202,11 +202,15 @@ class DeviceAligner:
         ((B,12) int32 [r0|r1] rows, (B,) uint8 has-bits). Oversize problems
         (beyond the bucket ladder) get no bits — the C side runs the exact
         scalar kernel for them."""
+        import os
+
         B = len(coords)
         out_r = np.zeros((B, 12), np.int32)
         has = np.zeros(B, np.uint8)
         if B == 0:
             return out_r, has
+        if os.environ.get("MPIBWA_EXT") == "native":
+            return out_r, has  # no device results -> C runs every DP scalar
         qcap, tcap = self.Q_BUCKETS[-1], self.T_BUCKETS[-1]
         small = np.nonzero((coords[:, 2] <= qcap)
                            & (coords[:, 5] <= tcap))[0]
@@ -217,18 +221,17 @@ class DeviceAligner:
         p = params[small]
         maxq = int(c[:, 2].max())
         maxt = max(int(c[:, 5].max()), 1)
-        r0 = self._ext_rows_run(c, p, maxq, maxt)
-        out_r[small, :6] = r0
-        has[small] |= 1
-        w = self.opt.w
-        thr = (w >> 1) + (w >> 2)
-        retry = small[~(r0[:, 5] < thr)]
-        if len(retry):
-            p1 = params[retry].copy()
-            p1[:, 0] = w << 1
-            r1 = self._ext_rows_run(coords[retry], p1, maxq, maxt)
-            out_r[retry, 6:] = r1
-            has[retry] |= 2
+        # both band tries (w and w<<1) ride ONE device call: lane width is
+        # nearly free (rounds are latency-bound) and it saves a full
+        # device->host round trip vs a conditional retry pass
+        p1 = p.copy()
+        p1[:, 0] = self.opt.w << 1
+        both = self._ext_rows_run(np.concatenate([c, c]),
+                                  np.concatenate([p, p1]), maxq, maxt)
+        n = len(small)
+        out_r[small, :6] = both[:n]
+        out_r[small, 6:] = both[n:]
+        has[small] = 3
         return out_r, has
 
     def _align_arrays_inner(self, seqs, chainer):

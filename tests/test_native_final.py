@@ -161,3 +161,24 @@ def test_batch_native_chain_vs_python_chain(lib, index):
             _os.environ.pop("MPIBWA_CHAIN")
         for x, y in zip(a, b):
             assert x.sam == y.sam, (pe, x.name, x.sam, y.sam)
+
+
+def test_native_ext_matches_device_ext(lib, index):
+    """MPIBWA_EXT=native (every extension DP scalar in C) must equal the
+    device-extension path byte for byte."""
+    import os as _os
+
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    opt = mem_opt_init()
+    al = DeviceAligner(index, opt)
+    a = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=200)
+    b = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=200)
+    al.process_seqs(a, n_processed=3)
+    _os.environ["MPIBWA_EXT"] = "native"
+    try:
+        al.process_seqs(b, n_processed=3)
+    finally:
+        _os.environ.pop("MPIBWA_EXT")
+    for x, y in zip(a, b):
+        assert x.sam == y.sam, (x.name,)
