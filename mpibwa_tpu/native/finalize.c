@@ -2473,7 +2473,7 @@ typedef struct {
     uint8_t *rdone;        /* right resolved flag per subset slot */
 } cctx_t;
 
-typedef struct { int32_t c[6]; int32_t p[4]; int ctx; int slot; } job_t;
+typedef struct { int64_t c[6]; int32_t p[4]; int ctx; int slot; } job_t;
 typedef struct { job_t *a; long n, m; } jobvec_t;
 
 static void jv_push(jobvec_t *v, job_t j) {
@@ -2496,20 +2496,20 @@ typedef struct {
     cctx_t *ctx;          /* per extended chain */
     int nctx, mctx;
     jobvec_t left, right;
-    int32_t *coords_out;  /* last emitted job arrays (owned) */
+    int64_t *coords_out;  /* last emitted job arrays (owned) */
     int32_t *params_out;
     int max_subset;
 } chainsess_t;
 
 static void sess_emit(chainsess_t *ss, jobvec_t *jv, int64_t *n_out,
-                      int32_t **coords, int32_t **params) {
+                      int64_t **coords, int32_t **params) {
     free(ss->coords_out);
     free(ss->params_out);
-    ss->coords_out = (int32_t *)malloc((size_t)(jv->n ? jv->n : 1) * 6 * 4);
+    ss->coords_out = (int64_t *)malloc((size_t)(jv->n ? jv->n : 1) * 6 * 8);
     ss->params_out = (int32_t *)malloc((size_t)(jv->n ? jv->n : 1) * 4 * 4);
     if (!ss->coords_out || !ss->params_out) { g_oom = 1; return; }
     for (long i = 0; i < jv->n; ++i) {
-        memcpy(ss->coords_out + 6 * i, jv->a[i].c, 24);
+        memcpy(ss->coords_out + 6 * i, jv->a[i].c, 48);
         memcpy(ss->params_out + 4 * i, jv->a[i].p, 16);
     }
     *n_out = jv->n;
@@ -2549,7 +2549,7 @@ EXPORT void *fin_chain_begin(void *ctx_, int64_t n_reads,
                              const int64_t *mems, const int64_t *mem_off,
                              const int64_t *sa_pos, const int64_t *sa_off,
                              int max_subset, int64_t *n_left,
-                             int32_t **coords, int32_t **params) {
+                             int64_t **coords, int32_t **params) {
     fin_t *f = (fin_t *)ctx_;
     g_oom = 0;
     chainsess_t *ss = (chainsess_t *)calloc(1, sizeof(chainsess_t));
@@ -2644,12 +2644,12 @@ EXPORT void *fin_chain_begin(void *ctx_, int64_t n_reads,
                 const seed_t *s = &c->seeds.a[cc->subset[k]];
                 if (s->qbeg) {
                     job_t j;
-                    j.c[0] = (int32_t)b;
+                    j.c[0] = b;
                     j.c[1] = 0;
                     j.c[2] = s->qbeg;
                     j.c[3] = 1;
-                    j.c[4] = (int32_t)s->rbeg;
-                    j.c[5] = (int32_t)(s->rbeg - rmax0);
+                    j.c[4] = s->rbeg;
+                    j.c[5] = s->rbeg - rmax0;
                     j.p[0] = f->w;
                     j.p[1] = f->pen_clip5;
                     j.p[2] = f->zdrop;
@@ -2686,7 +2686,7 @@ static void left_problem(chainsess_t *ss, const cctx_t *cc, const seed_t *s,
 
 EXPORT int fin_chain_rights(void *sess_, const int32_t *left_r,
                             const uint8_t *left_has, int64_t *n_right,
-                            int32_t **coords, int32_t **params) {
+                            int64_t **coords, int32_t **params) {
     chainsess_t *ss = (chainsess_t *)sess_;
     fin_t *f = ss->f;
     g_oom = 0;
@@ -2725,8 +2725,8 @@ EXPORT int fin_chain_rights(void *sess_, const int32_t *left_r,
                 j.c[1] = qe;
                 j.c[2] = l_query - qe;
                 j.c[3] = 0;
-                j.c[4] = (int32_t)(s->rbeg + s->len);
-                j.c[5] = (int32_t)(cc->rmax1 - (s->rbeg + s->len));
+                j.c[4] = s->rbeg + s->len;
+                j.c[5] = cc->rmax1 - (s->rbeg + s->len);
                 j.p[0] = f->w;
                 j.p[1] = f->pen_clip3;
                 j.p[2] = f->zdrop;

@@ -232,12 +232,15 @@ def extend_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
     bwamem.c:716-722). params: (B, 4) int32 (w, end_bonus, zdrop, h0).
     Only coordinates cross the host link; sequences are gathered from the
     device-resident read batch and packed reference."""
-    row = coords[:, 0]
-    q_off = coords[:, 1]
-    q_len = coords[:, 2]
+    # coords may be int64 (r_start is a doubled reference coordinate, which
+    # exceeds int32 on human-scale genomes); the small columns feed int32
+    # kernel state
+    row = coords[:, 0].astype(jnp.int32)
+    q_off = coords[:, 1].astype(jnp.int32)
+    q_len = coords[:, 2].astype(jnp.int32)
     q_rev = coords[:, 3] != 0
     r_start = coords[:, 4].astype(jnp.int64)
-    t_len = coords[:, 5]
+    t_len = coords[:, 5].astype(jnp.int32)
     L = qd.shape[1]
     jq = jnp.arange(Q, dtype=jnp.int32)[None, :]
     qpos = jnp.where(q_rev[:, None], q_off[:, None] + q_len[:, None] - 1 - jq,

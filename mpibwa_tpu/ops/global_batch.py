@@ -227,12 +227,12 @@ def global_from_coords(fm, qd: jnp.ndarray, coords: jnp.ndarray, Q: int,
     extend_from_coords: (row, q_off, q_len, q_rev, r_start, t_len) with the
     reverse-strand case walking down from r_start (= re), which reproduces
     gen_cigar's double reversal (bwa.c:135-140)."""
-    row = coords[:, 0]
-    q_off = coords[:, 1]
-    q_len = coords[:, 2]
+    row = coords[:, 0].astype(jnp.int32)
+    q_off = coords[:, 1].astype(jnp.int32)
+    q_len = coords[:, 2].astype(jnp.int32)
     q_rev = coords[:, 3] != 0
-    r_start = coords[:, 4].astype(jnp.int64)
-    t_len = coords[:, 5]
+    r_start = coords[:, 4].astype(jnp.int64)  # doubled coord: needs int64
+    t_len = coords[:, 5].astype(jnp.int32)
     L = qd.shape[1]
     jq = jnp.arange(Q, dtype=jnp.int32)[None, :]
     qpos = jnp.where(q_rev[:, None], q_off[:, None] + q_len[:, None] - 1 - jq,

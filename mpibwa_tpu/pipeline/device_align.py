@@ -175,7 +175,7 @@ class DeviceAligner:
         Q = _round_up(maxq, self.Q_BUCKETS)
         T = _round_up(maxt, self.T_BUCKETS)
         Bp = 1 << max(4, (B - 1).bit_length())
-        cc = np.zeros((Bp, 6), np.int32)
+        cc = np.zeros((Bp, 6), np.int64)  # int64: r_start is a doubled coord
         pp = np.zeros((Bp, 4), np.int32)
         pp[:, 3] = 1
         cc[:, 2] = 1
@@ -363,7 +363,7 @@ class DeviceAligner:
         Q = _round_up(maxq, self.Q_BUCKETS)
         T = _round_up(maxt, self.T_BUCKETS)
         Bp = 1 << max(4, (B - 1).bit_length())
-        c = np.zeros((Bp, 6), np.int32)
+        c = np.zeros((Bp, 6), np.int64)  # int64: r_start is a doubled coord
         p = np.zeros((Bp, 4), np.int32)
         p[:, 3] = 1  # dummy h0 > 0
         c[:, 2] = 1  # dummy qlen
@@ -784,7 +784,7 @@ def precompute_cigars(opt, refs, qs_per_read, regs_per_read, dfm=None,
     for (Q, T), items in groups.items():
         B = len(items)
         Bp = 1 << max(4, (B - 1).bit_length())
-        cds = np.zeros((Bp, 6), np.int32)
+        cds = np.zeros((Bp, 6), np.int64)  # int64 r_start (doubled coords)
         cds[:, 2] = 1  # dummy qlen
         ws = np.full(Bp, 3, np.int32)
         skip = set()

@@ -225,11 +225,12 @@ class NativeChainer:
         return (self.fin.available
                 and os.environ.get("MPIBWA_CHAIN", "native") == "native")
 
-    def _copy_i32(self, ptr, n, cols):
+    def _copy_arr(self, ptr, n, cols, dtype):
+        dt = np.dtype(dtype)
         if n == 0 or not ptr:
-            return np.zeros((0, cols), np.int32)
-        buf = ctypes.string_at(ptr, int(n) * cols * 4)
-        return np.frombuffer(buf, np.int32).reshape(int(n), cols).copy()
+            return np.zeros((0, cols), dt)
+        buf = ctypes.string_at(ptr, int(n) * cols * dt.itemsize)
+        return np.frombuffer(buf, dt).reshape(int(n), cols).copy()
 
     def run(self, seqs, mems, sa_vals, sa_off, ext_rows, max_subset):
         """mems: flat (M,4) int64 + offsets; sa_vals flat int64 aligned with
@@ -256,8 +257,8 @@ class NativeChainer:
         try:
             if n_left[0] < 0:
                 return None
-            coords = self._copy_i32(coords_p.value, n_left[0], 6)
-            params = self._copy_i32(params_p.value, n_left[0], 4)
+            coords = self._copy_arr(coords_p.value, n_left[0], 6, np.int64)
+            params = self._copy_arr(params_p.value, n_left[0], 4, np.int32)
             left_r, left_has = ext_rows(coords, params)
             n_right = np.zeros(1, np.int64)
             rc = lib.fin_chain_rights(sess, _vp(left_r), _vp(left_has),
@@ -265,8 +266,9 @@ class NativeChainer:
                                       ctypes.byref(params_p))
             if rc != 0:
                 return None
-            coords = self._copy_i32(coords_p.value, n_right[0], 6)
-            params = self._copy_i32(params_p.value, n_right[0], 4)
+            coords = self._copy_arr(coords_p.value, n_right[0], 6,
+                                    np.int64)
+            params = self._copy_arr(params_p.value, n_right[0], 4, np.int32)
             right_r, right_has = ext_rows(coords, params)
             regs_p = ctypes.c_void_p()
             reg_off = np.zeros(n + 1, np.int64)
