@@ -71,3 +71,40 @@ def test_flag_native_vs_python(lib, index, pe, name, flag, rg):
         al._chainer = None
     for x, y in zip(a, b):
         assert x.sam == y.sam, (name, pe, x.name, x.sam, y.sam)
+
+
+def test_pes0_override_native_vs_python(lib, index):
+    """-I explicit insert stats (pes0) must flow through the native path
+    identically (skips pestat entirely, like mainParallel.c's -I)."""
+    from mpibwa_tpu.core.pair import PEStat
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    def mkpes():
+        pes = [PEStat(failed=1) for _ in range(4)]
+        p = pes[1]
+        p.failed = 0
+        p.avg = 200.0
+        p.std = 20.0
+        p.high = int(p.avg + 4.0 * p.std + 0.499)
+        p.low = max(int(p.avg - 4.0 * p.std + 0.499), 1)
+        return pes
+
+    opt = mem_opt_init()
+    opt.flag |= O.MEM_F_PE
+    al = DeviceAligner(index, opt)
+    a = _load(True)
+    b = _load(True)
+    assert al._process_seqs_native(a, 0, mkpes(), "")
+    os.environ["MPIBWA_CHAIN"] = "python"
+    os.environ["MPIBWA_FINAL"] = "python"
+    try:
+        al._finalizer = None
+        al._chainer = None
+        al.process_seqs(b, n_processed=0, pes0=mkpes())
+    finally:
+        os.environ.pop("MPIBWA_CHAIN")
+        os.environ.pop("MPIBWA_FINAL")
+        al._finalizer = None
+        al._chainer = None
+    for x, y in zip(a, b):
+        assert x.sam == y.sam, (x.name,)
