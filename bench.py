@@ -95,6 +95,27 @@ def _median(xs):
     return xs[m] if len(xs) & 1 else 0.5 * (xs[m - 1] + xs[m])
 
 
+def _init_backend():
+    """Initialize the device backend, retrying through transient tunnel
+    outages (the axon backend intermittently reports UNAVAILABLE at setup;
+    a dead bench run would otherwise record nothing)."""
+    import time as _t
+
+    import jax
+
+    tries = int(os.environ.get("BENCH_INIT_TRIES", "6"))
+    for i in range(tries):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            print(f"[bench] backend init failed ({i + 1}/{tries}): {e}",
+                  file=sys.stderr)
+            if i + 1 == tries:
+                raise
+            _t.sleep(int(os.environ.get("BENCH_INIT_SLEEP", "120")))
+
+
 def main():
     import jax
 
@@ -103,6 +124,7 @@ def main():
                       os.environ.get("JAX_CACHE_DIR", "/tmp/jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    _init_backend()
     ensure_index()
     from mpibwa_tpu.index.format import load_index
     from mpibwa_tpu.io.fastq import interleave, read_fastq
