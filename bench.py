@@ -44,10 +44,15 @@ def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden):
     from mpibwa_tpu.core.opts import MEM_F_PE, mem_opt_init
     from mpibwa_tpu.pipeline.device_align import DeviceAligner
 
+    from mpibwa_tpu.core.fm import FMIndex
+    from mpibwa_tpu.core.refseq import RefSeq
+
     opt = mem_opt_init()
     if pe:
         opt.flag |= MEM_F_PE
-    als = [DeviceAligner(idx, opt, dfm=dfm) for _ in range(workers)]
+    fm, refs = FMIndex.from_index(idx), RefSeq(idx)
+    als = [DeviceAligner(idx, opt, dfm=dfm, fm=fm, refs=refs)
+           for _ in range(workers)]
     bounds = []
     off = 0
     while off < len(seqs):

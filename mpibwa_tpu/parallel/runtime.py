@@ -163,6 +163,8 @@ class Runtime:
             # devices may repeat: several workers on one chip overlap that
             # chip's host finalization with its device compute; they share
             # one HBM index replica per distinct device
+            from mpibwa_tpu.core.fm import FMIndex
+            from mpibwa_tpu.core.refseq import RefSeq
             from mpibwa_tpu.ops.fmd import DeviceFMIndex
             from mpibwa_tpu.pipeline.device_align import DeviceAligner
 
@@ -170,7 +172,11 @@ class Runtime:
             for d in devices:
                 if id(d) not in dfms:
                     dfms[id(d)] = DeviceFMIndex(idx, d)
-            self.aligners = [DeviceAligner(idx, opt, dfm=dfms[id(d)])
+            # host engines shared too: one unpacked reference per process
+            fm = FMIndex.from_index(idx)
+            refs = RefSeq(idx)
+            self.aligners = [DeviceAligner(idx, opt, dfm=dfms[id(d)],
+                                           fm=fm, refs=refs)
                              for d in devices]
         elif use_device:
             from mpibwa_tpu.pipeline.device_align import DeviceAligner

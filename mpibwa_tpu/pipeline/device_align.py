@@ -69,15 +69,17 @@ class DeviceAligner:
     T_BUCKETS = (128, 256, 384, 512, 768, 1024)
     MAX_SEEDS_PER_CHAIN = 8  # optimistic extension cap; rest -> scalar
 
-    def __init__(self, idx, opt, device=None, dfm=None):
+    def __init__(self, idx, opt, device=None, dfm=None, fm=None, refs=None):
         """dfm: share an existing DeviceFMIndex (one HBM index replica can
-        serve several aligner workers on the same device)."""
+        serve several aligner workers on the same device); fm/refs: share
+        the host-side engines the same way (RefSeq holds the unpacked
+        reference — one copy per process, not per worker)."""
         from mpibwa_tpu.ops.fmd import DeviceFMIndex
         from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
 
         self.opt = opt
-        self.fm = FMIndex.from_index(idx)
-        self.refs = RefSeq(idx)
+        self.fm = fm if fm is not None else FMIndex.from_index(idx)
+        self.refs = refs if refs is not None else RefSeq(idx)
         self.dfm = dfm if dfm is not None else DeviceFMIndex(idx, device)
         self.seeder = DeviceSeeder(self.dfm, opt)
         self.stats = {"fallback_reads": 0, "ext_problems": 0, "ext_misses": 0}
