@@ -211,8 +211,15 @@ class DeviceAligner:
         has = np.zeros(B, np.uint8)
         if B == 0:
             return out_r, has
-        if os.environ.get("MPIBWA_EXT") == "native":
-            return out_r, has  # no device results -> C runs every DP scalar
+        # Heterogeneous scheduling default: with the C record runtime active,
+        # the banded extensions run scalar in C (no bits -> C computes every
+        # DP). The chip's time goes entirely to seeding/SA — its actual
+        # bottleneck stage — and the extension stage loses two device
+        # round trips per microbatch while overlapping other workers'
+        # device batches on real cores. MPIBWA_EXT=device|xla|pallas keeps
+        # the batched device kernels (byte-identical, diff-tested).
+        if os.environ.get("MPIBWA_EXT", "native") in ("native", "auto"):
+            return out_r, has
         qcap, tcap = self.Q_BUCKETS[-1], self.T_BUCKETS[-1]
         small = np.nonzero((coords[:, 2] <= qcap)
                            & (coords[:, 5] <= tcap))[0]

@@ -174,11 +174,11 @@ def test_native_ext_matches_device_ext(lib, index):
     al = DeviceAligner(index, opt)
     a = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=200)
     b = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=200)
-    al.process_seqs(a, n_processed=3)
-    _os.environ["MPIBWA_EXT"] = "native"
+    _os.environ["MPIBWA_EXT"] = "device"  # batched device kernels
     try:
-        al.process_seqs(b, n_processed=3)
+        al.process_seqs(a, n_processed=3)
     finally:
         _os.environ.pop("MPIBWA_EXT")
+    al.process_seqs(b, n_processed=3)  # default: scalar DPs in C
     for x, y in zip(a, b):
         assert x.sam == y.sam, (x.name,)
