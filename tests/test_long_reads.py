@@ -68,3 +68,38 @@ def test_long_reads_device_matches_host(index, preset):
 
     for h, d in zip(host, dev):
         assert h.sam == d.sam, (h.name, h.sam, d.sam)
+
+
+def test_long_pe_native_matches_host(index):
+    """PE pairs at 400-700bp: the i16 striped rescue (l_ms*a >= 250) and
+    pairing run in C on the native path; oracle = exact host pipeline."""
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    fm, refs = FMIndex.from_index(index), RefSeq(index)
+    rng0 = np.random.default_rng(7)
+    lengths = [400, 550, 700, 480, 620, 410]
+
+    def fresh():
+        reads = _make_long_reads(refs, np.random.default_rng(7), lengths)
+        out = []
+        for i in range(0, len(reads), 2):
+            reads[i].name = reads[i + 1].name = f"pair{i >> 1}"
+            out.append(reads[i])
+            out.append(reads[i + 1])
+        return out
+
+    from mpibwa_tpu.core.opts import MEM_F_PE
+
+    opt_h = mem_opt_init()
+    opt_h.flag |= MEM_F_PE
+    host = fresh()
+    process_seqs(opt_h, fm, refs, host)
+
+    opt_d = mem_opt_init()
+    opt_d.flag |= MEM_F_PE
+    al = DeviceAligner(index, opt_d)
+    dev = fresh()
+    al.process_seqs(dev)
+    for h, d in zip(host, dev):
+        assert h.sam == d.sam, (h.name, h.sam, d.sam)
+    del rng0
