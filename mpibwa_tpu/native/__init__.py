@@ -93,10 +93,11 @@ def get_lib():
                                         ctypes.c_int, P]
         # chaining session (finalize.c chain stage)
         lib.fin_chain_begin.restype = P
-        lib.fin_chain_begin.argtypes = [P, ctypes.c_int64, P, P, P, P, P, P,
-                                        ctypes.c_int, P,
-                                        ctypes.POINTER(P),
-                                        ctypes.POINTER(P)]
+        lib.fin_chain_begin.argtypes = [P, ctypes.c_int64, P, P, P, P,
+                                        ctypes.c_int, P, ctypes.POINTER(P)]
+        lib.fin_chain_sa.restype = ctypes.c_int
+        lib.fin_chain_sa.argtypes = [P, P, P, ctypes.POINTER(P),
+                                     ctypes.POINTER(P)]
         lib.fin_chain_rights.restype = ctypes.c_int
         lib.fin_chain_rights.argtypes = [P, P, P, P, ctypes.POINTER(P),
                                          ctypes.POINTER(P)]

@@ -2458,6 +2458,22 @@ static int cal_max_gap(const fin_t *f, int qlen) {
 #define U64_LT(a, b) ((a) < (b))
 KSORT_INIT(u64, uint64_t, U64_LT)
 
+typedef struct { int64_t x0, x1, x2, info; } iv4_t;
+#define IV4_LT(a, b) ((a).info < (b).info)
+KSORT_INIT(iv4, iv4_t, IV4_LT)
+
+typedef struct { int64_t *a; long n, m; } i64vec_t;
+
+static void iv_push(i64vec_t *v, int64_t x) {
+    if (v->n == v->m) {
+        long m = v->m ? v->m << 1 : 256;
+        int64_t *p = (int64_t *)realloc(v->a, (size_t)m * 8);
+        if (!p) { g_oom = 1; return; }
+        v->a = p; v->m = m;
+    }
+    v->a[v->n++] = x;
+}
+
 typedef struct {
     int b;                 /* read row */
     int ci;                /* chain index (within read, post-filter) */
@@ -2492,13 +2508,16 @@ typedef struct {
     int64_t n_reads;
     const uint8_t *seqs;
     const int64_t *seq_off;
+    int64_t *mems;            /* sorted in place by fin_chain_begin */
+    const int64_t *mem_off;
+    i64vec_t ks;              /* SA-resolution enumeration */
+    int max_subset;
     chainvec_t *chains;   /* per read */
     cctx_t *ctx;          /* per extended chain */
     int nctx, mctx;
     jobvec_t left, right;
     int64_t *coords_out;  /* last emitted job arrays (owned) */
     int32_t *params_out;
-    int max_subset;
 } chainsess_t;
 
 static void sess_emit(chainsess_t *ss, jobvec_t *jv, int64_t *n_out,
@@ -2544,12 +2563,16 @@ static extret_t band_try(const fin_t *f, scr_t *S, const uint8_t *qs,
     return r;
 }
 
+/* Phase 0: take UNSORTED per-read interval rows (pass-1|2|3 order), apply
+ * the exact ksort by info (core/sortutil.py permutation over the same
+ * input order), and emit the SA-resolution enumeration (the _resolve_sa
+ * loop: k = j*step, j < min(ceil(x2/step), max_occ)). mems is sorted IN
+ * PLACE and must stay alive (with seqs/seq_off/mem_off) for the session. */
 EXPORT void *fin_chain_begin(void *ctx_, int64_t n_reads,
                              const uint8_t *seqs, const int64_t *seq_off,
-                             const int64_t *mems, const int64_t *mem_off,
-                             const int64_t *sa_pos, const int64_t *sa_off,
-                             int max_subset, int64_t *n_left,
-                             int64_t **coords, int32_t **params) {
+                             int64_t *mems, const int64_t *mem_off,
+                             int max_subset, int64_t *n_ks,
+                             int64_t **ks_out) {
     fin_t *f = (fin_t *)ctx_;
     g_oom = 0;
     chainsess_t *ss = (chainsess_t *)calloc(1, sizeof(chainsess_t));
@@ -2558,10 +2581,49 @@ EXPORT void *fin_chain_begin(void *ctx_, int64_t n_reads,
     ss->n_reads = n_reads;
     ss->seqs = seqs;
     ss->seq_off = seq_off;
+    ss->mems = mems;
+    ss->mem_off = mem_off;
     ss->max_subset = max_subset;
     ss->chains = (chainvec_t *)calloc((size_t)n_reads, sizeof(chainvec_t));
     if (!ss->chains) { free(ss); return 0; }
+    for (int64_t b = 0; b < n_reads && !g_oom; ++b) {
+        long n_mem = (long)(mem_off[b + 1] - mem_off[b]);
+        if (n_mem <= 0) continue;
+        iv4_t *rows = (iv4_t *)(mems + 4 * mem_off[b]);
+        iv4_sort(rows, n_mem);
+        for (long mi = 0; mi < n_mem && !g_oom; ++mi) {
+            int64_t x0 = rows[mi].x0, x2 = rows[mi].x2;
+            int64_t step = x2 > f->max_occ ? x2 / f->max_occ : 1;
+            int64_t k = 0, count = 0;
+            while (k < x2 && count < f->max_occ) {
+                iv_push(&ss->ks, x0 + k);
+                k += step;
+                ++count;
+            }
+        }
+    }
+    if (g_oom) { *n_ks = -1; return ss; }
+    *n_ks = ss->ks.n;
+    *ks_out = ss->ks.a;
+    return ss;
+}
+
+/* Phase 1: chains from the sorted rows + resolved SA positions (aligned
+ * with the phase-0 enumeration); emits the left extension jobs. */
+EXPORT int fin_chain_sa(void *sess_, const int64_t *sa_pos,
+                        int64_t *n_left, int64_t **coords,
+                        int32_t **params) {
+    chainsess_t *ss = (chainsess_t *)sess_;
+    fin_t *f = ss->f;
+    g_oom = 0;
+    int64_t n_reads = ss->n_reads;
+    const uint8_t *seqs = ss->seqs;
+    const int64_t *seq_off = ss->seq_off;
+    const int64_t *mem_off = ss->mem_off;
+    const int64_t *mems = ss->mems;
+    int max_subset = ss->max_subset;
     int64_t l_pac = f->l_pac;
+    int64_t sa_i = 0;
     for (int64_t b = 0; b < n_reads && !g_oom; ++b) {
         int l_seq = (int)(seq_off[b + 1] - seq_off[b]);
         const uint8_t *q = seqs + seq_off[b];
@@ -2569,7 +2631,18 @@ EXPORT void *fin_chain_begin(void *ctx_, int64_t n_reads,
         if (n_mem < 0) continue; /* defensive */
         chainvec_t *cv = &ss->chains[b];
         c_mem_chain(f, l_seq, mems + 4 * mem_off[b], n_mem,
-                    sa_pos + sa_off[b], f->max_occ, cv);
+                    sa_pos + sa_i, f->max_occ, cv);
+        /* advance the shared enumeration cursor exactly like phase 0 */
+        for (int mi = 0; mi < n_mem; ++mi) {
+            const int64_t *iv = mems + 4 * (mem_off[b] + mi);
+            int64_t step = iv[2] > f->max_occ ? iv[2] / f->max_occ : 1;
+            int64_t k = 0, count = 0;
+            while (k < iv[2] && count < f->max_occ) {
+                k += step;
+                ++count;
+            }
+            sa_i += count;
+        }
         if (g_oom) break;
         c_mem_chain_flt(f, cv);
         if (g_oom) break;
@@ -2661,10 +2734,9 @@ EXPORT void *fin_chain_begin(void *ctx_, int64_t n_reads,
             }
         }
     }
-    if (g_oom) { *n_left = -1; return ss; }
+    if (g_oom) return -1;
     sess_emit(ss, &ss->left, n_left, coords, params);
-    if (g_oom) *n_left = -1;
-    return ss;
+    return g_oom ? -1 : 0;
 }
 
 /* build the reversed left-extension problem for (chain ctx, seed) into
@@ -2967,6 +3039,7 @@ EXPORT void fin_chain_end(void *sess_) {
         }
         free(ss->chains);
     }
+    free(ss->ks.a);
     free(ss->left.a);
     free(ss->right.a);
     free(ss->coords_out);

@@ -322,13 +322,17 @@ def _merge_filter(acc, acc_off, tail_cols, n_tail_cap: int, n_tail,
 
 
 def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
-                  min_len=0):
+                  min_len=0, raw=False):
     """Driver matching seeding_flat.run_backward_flat's contract, except
     x[1] of the returned mems is the un-extended forward value (see module
     docstring, fact 3) and mems shorter than min_len are dropped on device
     (callers filter them immediately anyway). Returns (per-lane mem lists,
     overflow (NL,) bool) — overflow True for ALL lanes when a static
-    shrink didn't fit (the caller redoes the group on the exact engine)."""
+    shrink didn't fit (the caller redoes the group on the exact engine).
+
+    raw=True: returns ((n, 6) int32 rows [x0, x1, x2, start, end, lane],
+    overflow bool) with ONE control sync (n + overflow ride one tiny pull)
+    and no per-row Python — the arrays-end-to-end fast path."""
     tables = fm.occ16_tables()
     NL, L = int(qrows_dev.shape[0]), int(qrows_dev.shape[1])
     ik_d, info_d, lane_d, live_d = entry_dev
@@ -399,6 +403,18 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     cols, n_tail = pack_emitted8(st, cap)
     rows_d, n_keep = _merge_filter(acc, acc_off, cols, cap, n_tail,
                                    jnp.int32(min_len))
+
+    if raw:
+        # one tiny control pull: [n_keep, any-overflow]
+        ov_d = (jnp.any(jnp.stack(ov_flags)) if ov_flags
+                else jnp.asarray(False))
+        ctrl = np.asarray(jnp.stack([n_keep, ov_d.astype(jnp.int32)]))
+        if bool(ctrl[1]):
+            return np.zeros((0, 6), np.int32), True
+        n = int(ctrl[0])
+        if n == 0:
+            return np.zeros((0, 6), np.int32), False
+        return np.asarray(rows_d[:n]), False
 
     overflow = np.zeros(n_lanes, bool)
     if ov_flags and bool(np.any(np.asarray(jnp.stack(ov_flags)))):

@@ -125,10 +125,8 @@ class DeviceAligner:
     # -- native-chain driver --------------------------------------------------
 
     def _pack_mems(self, mems):
-        """Flatten per-read interval lists + the SA-resolution enumeration
-        (the exact _resolve_sa loop: k = j*step for j < min(ceil(x2/step),
-        max_occ)) into the arrays the C session takes — vectorized."""
-        opt = self.opt
+        """Flatten per-read interval lists (pre-sort pass order; the C
+        session sorts + enumerates SA positions itself)."""
         rows = []
         mem_off = np.zeros(len(mems) + 1, np.int64)
         for b, mem in enumerate(mems):
@@ -137,21 +135,7 @@ class DeviceAligner:
             mem_off[b + 1] = len(rows)
         flat = (np.array(rows, np.int64).reshape(-1, 4)
                 if rows else np.zeros((0, 4), np.int64))
-        x0, x2 = flat[:, 0], flat[:, 2]
-        step = np.where(x2 > opt.max_occ, x2 // max(opt.max_occ, 1), 1)
-        count = np.minimum(-(-x2 // np.maximum(step, 1)), opt.max_occ)
-        count = np.where(x2 > 0, count, 0)
-        total = int(count.sum())
-        # ks = x0[i] + step[i] * arange(count[i]), concatenated
-        ends = np.cumsum(count)
-        starts = ends - count
-        j = np.arange(total, dtype=np.int64) - np.repeat(starts, count)
-        ks = np.repeat(x0, count) + np.repeat(step, count) * j
-        # per-read sa offsets from per-interval counts
-        sa_off = np.zeros(len(mems) + 1, np.int64)
-        csum = np.concatenate([[0], ends])
-        sa_off[1:] = csum[mem_off[1:]]
-        return flat, mem_off, ks, sa_off
+        return flat, mem_off
 
     def _sa_flat(self, ks):
         import jax.numpy as jnp
@@ -250,21 +234,20 @@ class DeviceAligner:
 
         t = self.stats.setdefault("t", {})
         t0 = _time.time()
-        mems, fallback = self.seeder.collect_batch([s.seq for s in seqs])
+        got = self.seeder.collect_flat([s.seq for s in seqs])
         self._qd = self.seeder.last_qd
+        if got is None:  # backward overflow: the exact list path handles it
+            return None
+        mems_flat, mem_off, fallback = got
         t["seed"] = t.get("seed", 0) + _time.time() - t0
         self.stats["fallback_reads"] += int(fallback.sum())
         t0 = _time.time()
-        mems_flat, mem_off, ks, sa_off = self._pack_mems(mems)
-        sa_vals = self._sa_flat(ks)
-        t["sa"] = t.get("sa", 0) + _time.time() - t0
-        t0 = _time.time()
-        res = chainer.run(seqs, (mems_flat, mem_off), sa_vals, sa_off,
+        res = chainer.run(seqs, (mems_flat, mem_off), self._sa_flat,
                           self._ext_rows, self.MAX_SEEDS_PER_CHAIN)
         if res is None:
             return None
         regs, reg_off = res
-        fb = [b for b, m in enumerate(mems) if m is None]
+        fb = list(np.nonzero(fallback)[0])
         if fb:
             from mpibwa_tpu.pipeline.native_final import regs_to_array
 
@@ -291,7 +274,7 @@ class DeviceAligner:
         """Microbatched native-chain alignment: packed regions for the
         whole batch, or None -> caller uses the Python path."""
         chainer = self._native_chainer()
-        if chainer is None:
+        if chainer is None or not seqs:
             return None
         MB = self.MICROBATCH
         parts = []

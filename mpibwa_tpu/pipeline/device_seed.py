@@ -268,10 +268,12 @@ class DeviceSeeder:
             mark(call_list[ln][0])
         return mems[:N]
 
-    def collect_batch(self, qs: List[np.ndarray]
+    def collect_batch(self, qs: List[np.ndarray], sort: bool = True
                       ) -> Tuple[List[Optional[List[tuple]]], np.ndarray]:
         """Returns (per-read interval lists, fallback_mask). Lists are None
-        for reads needing host fallback."""
+        for reads needing host fallback. sort=False returns the pre-sort
+        pass order (the native chain session applies the exact ksort
+        itself; sorting here too would re-permute ties)."""
         import time as _time
 
         import jax.numpy as jnp
@@ -418,7 +420,238 @@ class DeviceSeeder:
                 out.append(None)
                 continue
             mem = pass1[b] + pass2[b] + pass3_out[b]
-            ks_introsort(mem, lambda a, c: a[3] < c[3])
+            if sort:
+                ks_introsort(mem, lambda a, c: a[3] < c[3])
             out.append(mem)
         _mark("sortout", t0)
         return out, fallback
+
+    # -- arrays-end-to-end fast path ------------------------------------------
+
+    def _backward_rows(self, qd, call_list, ivals_dev, infos_dev):
+        """Raw-rows backward: ((n, 6) int32 rows [x0,x1,x2,start,end,lane]
+        min_len-filtered, chronological within lane; overflow bool). v8 runs
+        natively; other engines go through a list shim (the CPU/test path),
+        so the downstream array assembly is engine-independent."""
+        import os
+
+        import jax as _jax
+        import jax.numpy as jnp
+
+        N = len(call_list)
+        if N == 0:
+            return np.zeros((0, 6), np.int32), False
+        mode = os.environ.get("MPIBWA_BWD", "auto")
+        if mode == "auto":
+            mode = "v8" if (self.dfm.idt == jnp.int32
+                            and _jax.default_backend() != "cpu") else "flat"
+        if mode == "v8":
+            from mpibwa_tpu.ops import backward8 as B8
+            from mpibwa_tpu.ops import seeding_flat as SF
+
+            def pad2(n):
+                c = 1024
+                while c < n:
+                    c <<= 1
+                return c
+
+            NLp = max(16, 1 << (N - 1).bit_length())
+            arr = np.asarray(call_list, dtype=np.int64)
+            lrow = np.zeros(NLp, np.int32)
+            ltbl = np.zeros((NLp, 3), np.int32)
+            x0 = np.zeros(NLp, np.int32)
+            minv = np.ones(NLp, np.int64)
+            lrow[:N] = arr[:, 0]
+            ltbl[:N, 0] = arr[:, 1]
+            ltbl[:N, 1] = arr[:, 2]
+            starts = np.zeros(N, np.int64)
+            if N > 1:
+                np.cumsum(arr[:-1, 2], out=starts[1:])
+            ltbl[:N, 2] = starts
+            x0[:N] = arr[:, 3]
+            minv[:N] = arr[:, 4]
+            e = int(arr[:, 2].sum())
+            ltbl[N:, 2] = e
+            ik, info, lane, live = SF.assemble_entries(
+                ivals_dev, infos_dev, jnp.asarray(lrow),
+                jnp.asarray(ltbl), pad2(e))
+            rows, ov = B8.run_backward8(
+                self.dfm, qd[jnp.asarray(lrow)], (ik, info, lane, live),
+                NLp, x0, minv, min_len=self.opt.min_seed_len, raw=True)
+            return rows, bool(ov)
+        # shim: per-lane lists -> rows with the same filter
+        fb = np.zeros(1 + max(c[0] for c in call_list), bool)
+        mems = self._run_backward_for_calls(qd, call_list, ivals_dev,
+                                            infos_dev, fb)
+        if fb.any():
+            return np.zeros((0, 6), np.int32), True
+        rows = []
+        msl = self.opt.min_seed_len
+        for ln, mem in enumerate(mems):
+            for iv in mem:
+                st, en = iv[3] >> 32, iv[3] & 0xFFFFFFFF
+                if en - st >= msl:
+                    rows.append((iv[0], iv[1], iv[2], st, en, ln))
+        return (np.array(rows, np.int32).reshape(-1, 6)
+                if rows else np.zeros((0, 6), np.int32)), False
+
+    @staticmethod
+    def _order_rows(rows):
+        """(lane asc, chronological desc) — the per-lane 'reversed()' of the
+        list path, vectorized. Returns the reordered rows."""
+        if len(rows) == 0:
+            return rows
+        order = np.lexsort((-np.arange(len(rows)), rows[:, 5]))
+        return rows[order]
+
+    def collect_flat(self, qs: List[np.ndarray]):
+        """Arrays-end-to-end collect_intv: returns (flat (M,4) int64 rows in
+        pre-sort pass order, mem_off int64[B+1], fallback (B,) bool) with no
+        per-interval Python, or None (backward overflow -> caller uses the
+        exact list path). Row-for-row equal to
+        _pack_mems(collect_batch(sort=False))."""
+        import time as _time
+
+        import jax.numpy as jnp
+
+        tt = self.__dict__.setdefault("times", {})
+
+        def _mark(name, t0):
+            tt[name] = tt.get(name, 0.0) + _time.time() - t0
+            return _time.time()
+
+        t0 = _time.time()
+        opt = self.opt
+        B = len(qs)
+        q, lens = _pad_batch(qs)
+        qd = jnp.asarray(q)
+        self.last_qd = qd
+        lensd = jnp.asarray(lens)
+
+        # ---- pass 1 forward (+ pass 3, fused) ----
+        packed3 = None
+        if opt.max_mem_intv > 0:
+            ivals1, infos1, combined = _fused_p1_p3(
+                self.dfm, qd, lensd, opt.min_seed_len, opt.max_mem_intv)
+            combined = np.asarray(combined)
+            fwd_cols = 2 + 3 * seeding.C_CAP
+            packed = combined[:, :fwd_cols]
+            packed3 = combined[:, fwd_cols:]
+        else:
+            min1 = jnp.ones(B, dtype=jnp.int64)
+            fwd = seeding.forward_pass(self.dfm, qd, lensd, min1, True)
+            packed = np.asarray(_pack_fwd(fwd))
+            ivals1, infos1 = fwd.ivals, fwd.infos
+        C = (packed.shape[1] - 2) // 3
+        fallback = packed[:, 0] != 0
+        n_calls = packed[:, 1]
+        call_x = packed[:, 2 : 2 + C]
+        call_start = packed[:, 2 + C : 2 + 2 * C]
+        call_len = packed[:, 2 + 2 * C :]
+        t0 = _mark("fwd1", t0)
+
+        ncl = np.minimum(n_calls, call_x.shape[1]).astype(np.int64)
+        b_of = np.repeat(np.arange(B, dtype=np.int64), ncl)
+        lane_base = np.zeros(B, np.int64)
+        np.cumsum(ncl[:-1], out=lane_base[1:])
+        c_of = np.arange(len(b_of), dtype=np.int64) - lane_base[b_of]
+        lanes1 = np.stack(
+            [b_of, call_start[b_of, c_of].astype(np.int64),
+             call_len[b_of, c_of].astype(np.int64),
+             call_x[b_of, c_of].astype(np.int64),
+             np.ones(len(b_of), np.int64)], axis=1)
+        t0 = _mark("tables1", t0)
+        rows1, ov1 = self._backward_rows(qd, list(lanes1), ivals1, infos1)
+        if ov1:
+            return None
+        t0 = _mark("bwd1", t0)
+        rows1 = self._order_rows(rows1)
+        read1 = (lanes1[:, 0][rows1[:, 5]] if len(rows1)
+                 else np.zeros(0, np.int64))
+
+        # ---- pass 2 (selection over pass-1 rows in iteration order) ----
+        split_len = int(opt.min_seed_len * opt.split_factor + 0.499)
+        sel = ((rows1[:, 4] - rows1[:, 3] >= split_len)
+               & (rows1[:, 2] <= opt.split_width)) if len(rows1) else \
+            np.zeros(0, bool)
+        rows2 = np.zeros((0, 6), np.int32)
+        read2 = np.zeros(0, np.int64)
+        if sel.any():
+            srows = rows1[sel]
+            sreads = read1[sel]
+            n2 = len(srows)
+            B2 = 1 << max(4, (n2 - 1).bit_length())
+            q2 = np.full((B2, q.shape[1]), 4, dtype=np.uint8)
+            q2[:n2] = q[sreads]
+            lens2 = np.zeros(B2, np.int32)
+            lens2[:n2] = lens[sreads]
+            starts2 = np.zeros(B2, np.int32)
+            starts2[:n2] = (srows[:, 3] + srows[:, 4]) >> 1
+            min2 = np.ones(B2, np.int64)
+            min2[:n2] = srows[:, 2].astype(np.int64) + 1
+            q2d = jnp.asarray(q2)
+            t2 = _time.time()
+            fwd2 = seeding.forward_pass(self.dfm, q2d, jnp.asarray(lens2),
+                                        jnp.asarray(min2), False,
+                                        jnp.asarray(starts2))
+            p2 = np.asarray(_pack_fwd1(fwd2))
+            tt["p2_fwd"] = tt.get("p2_fwd", 0.0) + _time.time() - t2
+            ovl = p2[:n2, 0] != 0
+            if ovl.any():
+                fallback[sreads[ovl]] = True
+            live2 = p2[:n2, 1] > 0
+            l2idx = np.nonzero(live2)[0]
+            if len(l2idx):
+                call_list2 = np.stack(
+                    [l2idx, p2[l2idx, 3], p2[l2idx, 4], p2[l2idx, 2],
+                     min2[l2idx]], axis=1)
+                t2 = _time.time()
+                rows2, ov2 = self._backward_rows(q2d, list(call_list2),
+                                                 fwd2.ivals, fwd2.infos)
+                tt["p2_bwd"] = tt.get("p2_bwd", 0.0) + _time.time() - t2
+                if ov2:
+                    return None
+                rows2 = self._order_rows(rows2)
+                read2 = (sreads[l2idx[rows2[:, 5]]] if len(rows2)
+                         else np.zeros(0, np.int64))
+        t0 = _mark("pass2", t0)
+
+        # ---- pass 3 rows ----
+        rows3 = np.zeros((0, 4), np.int64)
+        read3 = np.zeros(0, np.int64)
+        if packed3 is not None:
+            S3 = (packed3.shape[1] - 2) // 4
+            fallback |= packed3[:, 0] != 0
+            n3 = np.where(fallback, 0, np.minimum(packed3[:, 1], S3))
+            s3 = packed3[:, 2 : 2 + 3 * S3].reshape(B, S3, 3)
+            i3 = packed3[:, 2 + 3 * S3 :]
+            m3 = np.arange(S3)[None, :] < n3[:, None]
+            if m3.any():
+                read3 = np.repeat(np.arange(B, dtype=np.int64), n3)
+                rows3 = np.concatenate(
+                    [s3[m3], i3[m3][:, None]], axis=1).astype(np.int64)
+        t0 = _mark("pass3", t0)
+
+        # ---- combine per read: pass order within read, no sort ----
+        def to4(rows):
+            out = np.empty((len(rows), 4), np.int64)
+            out[:, 0] = rows[:, 0]
+            out[:, 1] = rows[:, 1]
+            out[:, 2] = rows[:, 2]
+            out[:, 3] = (rows[:, 3].astype(np.int64) << 32) | rows[:, 4]
+            return out
+
+        flat = np.concatenate([to4(rows1), to4(rows2), rows3], axis=0)
+        reads = np.concatenate([read1, read2, read3])
+        ranks = np.concatenate(
+            [np.zeros(len(read1), np.int64),
+             np.ones(len(read2), np.int64),
+             np.full(len(read3), 2, np.int64)])
+        keep = ~fallback[reads] if len(reads) else np.zeros(0, bool)
+        flat, reads, ranks = flat[keep], reads[keep], ranks[keep]
+        order = np.argsort(reads * 4 + ranks, kind="stable")
+        flat = flat[order]
+        reads = reads[order]
+        mem_off = np.searchsorted(reads, np.arange(B + 1, dtype=np.int64))
+        _mark("sortout", t0)
+        return flat, mem_off.astype(np.int64), fallback

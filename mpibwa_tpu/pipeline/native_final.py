@@ -232,30 +232,41 @@ class NativeChainer:
         buf = ctypes.string_at(ptr, int(n) * cols * dt.itemsize)
         return np.frombuffer(buf, dt).reshape(int(n), cols).copy()
 
-    def run(self, seqs, mems, sa_vals, sa_off, ext_rows, max_subset):
-        """mems: flat (M,4) int64 + offsets; sa_vals flat int64 aligned with
-        the enumeration; ext_rows(coords, params) -> ((B,12) int32 rows,
-        (B,) uint8 has-bits) runs the device extension rounds.
-        Returns (regs structured array, reg_off int64[n+1]) or None."""
+    def run(self, seqs, mems, resolve_sa, ext_rows, max_subset):
+        """mems: flat (M,4) int64 rows in pass order (UNSORTED; C applies
+        the exact ksort) + offsets; resolve_sa(ks int64[n]) -> positions
+        int64[n] runs the device SA walk; ext_rows(coords, params) ->
+        ((B,12) int32 rows, (B,) uint8 has-bits) runs the device extension
+        rounds. Returns (regs structured array, reg_off int64[n+1]) or
+        None."""
         if not self.fin._ensure_ctx():
             return None
         lib = self.fin.lib
         mems_flat, mem_off = mems
+        mems_flat = np.ascontiguousarray(mems_flat, dtype=np.int64)
         n = len(seqs)
         blobs = self.fin._pack_blobs(seqs)
         seq_blob, seq_off = blobs[0], blobs[1]
-        n_left = np.zeros(1, np.int64)
+        n_ks = np.zeros(1, np.int64)
+        ks_p = ctypes.c_void_p()
         coords_p = ctypes.c_void_p()
         params_p = ctypes.c_void_p()
         sess = lib.fin_chain_begin(
             self.fin.ctx, ctypes.c_int64(n), _vp(seq_blob), _vp(seq_off),
-            _vp(mems_flat), _vp(mem_off), _vp(sa_vals), _vp(sa_off),
-            ctypes.c_int(max_subset), _vp(n_left), ctypes.byref(coords_p),
-            ctypes.byref(params_p))
+            _vp(mems_flat), _vp(mem_off), ctypes.c_int(max_subset),
+            _vp(n_ks), ctypes.byref(ks_p))
         if not sess:
             return None
         try:
-            if n_left[0] < 0:
+            if n_ks[0] < 0:
+                return None
+            ks = self._copy_arr(ks_p.value, n_ks[0], 1, np.int64).ravel()
+            sa_vals = np.ascontiguousarray(resolve_sa(ks), dtype=np.int64)
+            n_left = np.zeros(1, np.int64)
+            rc = lib.fin_chain_sa(sess, _vp(sa_vals), _vp(n_left),
+                                  ctypes.byref(coords_p),
+                                  ctypes.byref(params_p))
+            if rc != 0:
                 return None
             coords = self._copy_arr(coords_p.value, n_left[0], 6, np.int64)
             params = self._copy_arr(params_p.value, n_left[0], 4, np.int32)

@@ -182,3 +182,22 @@ def test_native_ext_matches_device_ext(lib, index):
     al.process_seqs(b, n_processed=3)  # default: scalar DPs in C
     for x, y in zip(a, b):
         assert x.sam == y.sam, (x.name,)
+
+
+def test_collect_flat_matches_list_path(lib, index):
+    """The arrays-end-to-end seeder (collect_flat) must produce row-for-row
+    the same pre-sort interval stream as the per-read list path."""
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    opt = mem_opt_init()
+    al = DeviceAligner(index, opt)
+    qs = [s.seq for s in
+          read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=500)]
+    got = al.seeder.collect_flat(qs)
+    assert got is not None
+    flat, mem_off, fb = got
+    mems, fb2 = al.seeder.collect_batch(qs, sort=False)
+    assert (fb == fb2).all()
+    ref_flat, ref_off = al._pack_mems(mems)
+    assert (mem_off == ref_off).all()
+    assert np.array_equal(flat, ref_flat)
