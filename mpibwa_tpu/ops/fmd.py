@@ -61,6 +61,19 @@ class DeviceFMIndex:
         self.pac = put(np.asarray(idx.pac))
         self.l_pac = int(idx.l_pac)
         self._host_bwt = idx.bwt  # for derived device layouts (OCC16)
+        # OCC16 derived tables (v8 backward, OCC16 rank, SA walk): built
+        # eagerly for int32 indexes so they survive pytree flattening into
+        # jitted callees (extend/forward_pass take fm as an argument)
+        if self.idt == jnp.int32:
+            from mpibwa_tpu.ops.backward8 import build_occ16
+
+            o16, w16 = build_occ16(idx.bwt)
+            if device:
+                o16 = jax.device_put(o16, device)
+                w16 = jax.device_put(w16, device)
+            self._occ16 = (o16, w16)
+        else:
+            self._occ16 = None
         # int32 indexes: sa_lookup dispatches to the jitted OCC16 walk
         # itself (the pytree-jitted wrapper would lose the derived tables)
         if self.idt == jnp.int32:
@@ -69,9 +82,9 @@ class DeviceFMIndex:
             self.sa_lookup_jit = lambda ks: _sa_lookup_jit(self, ks)
 
     def occ16_tables(self):
-        """Cached OCC16 split tables for the v8 backward engine
-        (ops/backward8.py): occ every 16 bases + one packed word, as two
-        1-D device tables. Derived (output-invariant) layout."""
+        """OCC16 split tables (v8 backward, occ4_16, SA walk): occ every 16
+        bases + one packed word, as two 1-D device tables. Built in
+        __init__ for int32 indexes (pytree leaves)."""
         if getattr(self, "_occ16", None) is None:
             from mpibwa_tpu.ops.backward8 import build_occ16
 
@@ -201,6 +214,47 @@ class DeviceFMIndex:
         out = (self.occ[blk] + cnt).astype(self.idt)
         return jnp.where(sent[..., None], jnp.asarray(0, self.idt), out)
 
+    def occ4_16(self, ks: jnp.ndarray) -> jnp.ndarray:
+        """occ4 through the derived OCC16 layout (cumulative counts every 16
+        bases + one packed word): per position ONE 4-value table gather +
+        ONE word gather + multiply-free SWAR — vs occ4's 8-word block scan
+        with multiply popcounts (uint32 multiply chains are ~0.5 ms/round
+        inside a device loop on this hardware). Bit-identical to occ4."""
+        occ16, w16 = self.occ16_tables()
+        sent = ks < 0
+        k = jnp.where(sent, 0, ks)
+        k = k - (k >= self.primary)
+        sb = (k >> 4).astype(jnp.int32)
+        within = (k & 15).astype(jnp.int32)
+        base = occ16[(sb[..., None] << 2)
+                     + jnp.arange(4, dtype=jnp.int32)]  # (..., 4)
+        sh = (jnp.int32(30) - jnp.int32(2) * within).astype(jnp.uint32)
+        keep = ~((jnp.uint32(1) << sh) - jnp.uint32(1))
+        w = jax.lax.bitcast_convert_type(w16[sb], jnp.uint32) & keep
+        nw = ~w
+        cnts = []
+        for c in range(4):
+            a = (w if c & 2 else nw) >> 1
+            b = w if c & 1 else nw
+            m = a & b & M55
+            x = (m & M33) + ((m >> 2) & M33)
+            x = (x + (x >> 4)) & M0F
+            cnt = ((x + (x >> 8) + (x >> 16) + (x >> 24))
+                   & jnp.uint32(0x3F)).astype(jnp.int32)
+            cnts.append(cnt)
+        cnt = jnp.stack(cnts, axis=-1)
+        cnt = cnt.at[..., 0].add(-(jnp.int32(15) - within))
+        out = (base + cnt).astype(self.idt)
+        return jnp.where(sent[..., None], jnp.asarray(0, self.idt), out)
+
+    def _occ4_dispatch(self, ks: jnp.ndarray) -> jnp.ndarray:
+        import os
+
+        if (self.idt == jnp.int32
+                and os.environ.get("MPIBWA_OCC", "occ16") == "occ16"):
+            return self.occ4_16(ks)
+        return self.occ4(ks)
+
     def bwt_b0(self, k: jnp.ndarray) -> jnp.ndarray:
         """Base at position k of the $-removed BWT (bwt_B0). k >= 0."""
         blk = (k >> 7).astype(jnp.int32)
@@ -233,8 +287,12 @@ class DeviceFMIndex:
         col = 0 if is_back else 1  # x[!is_back]
         oth = 1 - col
         kq = ik[..., col] - 1
-        tk = self.occ4(kq)  # (..., 4)
-        tl = self.occ4(kq + ik[..., 2])
+        # both positions ride one occ query (fewer gather launches)
+        both = self._occ4_dispatch(
+            jnp.concatenate([kq[..., None], (kq + ik[..., 2])[..., None]],
+                            axis=-1))
+        tk = both[..., 0, :]
+        tl = both[..., 1, :]
         okx2 = tl - tk
         ok_main = self.L2[:4] + 1 + tk
         add = ((ik[..., col] <= self.primary)
@@ -315,16 +373,23 @@ class DeviceFMIndex:
 # constants — otherwise every kernel compile embeds megabytes of index data
 # and the persistent compilation cache becomes index-specific.
 def _dfm_flatten(fm: DeviceFMIndex):
-    leaves = (fm.occ, fm.data, fm.L2, fm.sa, fm.pac)
+    o16 = getattr(fm, "_occ16", None)
+    if o16 is None:
+        o16 = (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32))
+        has16 = False
+    else:
+        has16 = True
+    leaves = (fm.occ, fm.data, fm.L2, fm.sa, fm.pac, o16[0], o16[1])
     aux = (fm.primary, fm.seq_len, fm.sa_intv, fm.l_pac,
-           "i32" if fm.np_idt == np.int32 else "i64")
+           "i32" if fm.np_idt == np.int32 else "i64", has16)
     return leaves, aux
 
 
 def _dfm_unflatten(aux, leaves):
     obj = object.__new__(DeviceFMIndex)
-    obj.occ, obj.data, obj.L2, obj.sa, obj.pac = leaves
-    obj.primary, obj.seq_len, obj.sa_intv, obj.l_pac, idt = aux
+    (obj.occ, obj.data, obj.L2, obj.sa, obj.pac, o16a, o16b) = leaves
+    obj.primary, obj.seq_len, obj.sa_intv, obj.l_pac, idt, has16 = aux
+    obj._occ16 = (o16a, o16b) if has16 else None
     if idt == "i32":
         obj.idt, obj.np_idt = jnp.int32, np.int32
     else:

@@ -102,3 +102,25 @@ def test_smem_vs_golden(fm, golden_dir):
         assert got == golden[name], f"smem mismatch for {name}"
         checked += 1
     assert checked == 200
+
+
+def test_occ4_16_matches_occ4(index):
+    """The OCC16 rank path (multiply-free, one sub-block) must equal occ4
+    bit for bit, incl. sentinels, the primary skip and block edges."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mpibwa_tpu.ops.fmd import DeviceFMIndex
+
+    fm = DeviceFMIndex(index)
+    rng = np.random.default_rng(0)
+    ks = np.concatenate([
+        rng.integers(-1, fm.seq_len, 4000),
+        [-1, 0, 1, 15, 16, 17, 127, 128, fm.seq_len - 1, fm.seq_len,
+         fm.primary, fm.primary - 1, fm.primary + 1]])
+    a = np.asarray(fm.occ4(jnp.asarray(ks)))
+    b = np.asarray(fm.occ4_16(jnp.asarray(ks)))
+    assert np.array_equal(a, b)
+    ks2 = rng.integers(-1, fm.seq_len, (8, 256))
+    assert np.array_equal(np.asarray(fm.occ4(jnp.asarray(ks2))),
+                          np.asarray(fm.occ4_16(jnp.asarray(ks2))))
