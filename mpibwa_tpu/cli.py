@@ -13,7 +13,7 @@ Usage:
 Env knobs: MPIBWA_DEVICES=all|N (intra-host device fan-out),
 MPIBWA_WORKERS=k (pipelined workers per device), MPIBWA_SHARD/MPIBWA_NSHARDS
 (multi-process sharding; pair with `merge`), MPIBWA_MICROBATCH (device batch,
-default 8192), MPIBWA_BWD=auto|v8|flat|contig|pallas (backward-SMEM engine;
+default 16384), MPIBWA_BWD=auto|v8|flat|contig|pallas (backward-SMEM engine;
 auto picks v8 on int32 indexes; `pallas` is experimental — its compiled
 Mosaic path is only diff-tested in interpret mode), MPIBWA_EXT=auto|xla
 (extension DP: device kernels, or `native` = every extension DP scalar in

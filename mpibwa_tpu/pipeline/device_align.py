@@ -506,7 +506,7 @@ class DeviceAligner:
 
     # -- the public entry ----------------------------------------------------
 
-    MICROBATCH = int(__import__("os").environ.get("MPIBWA_MICROBATCH", "8192"))
+    MICROBATCH = int(__import__("os").environ.get("MPIBWA_MICROBATCH", "16384"))
 
     def align_regs(self, seqs: List[BSeq]) -> List[List[R.AlnReg]]:
         """Compute alignment regions for a batch.
