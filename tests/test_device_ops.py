@@ -1,5 +1,6 @@
 """Device (JAX) kernels vs the exact scalar engine."""
 
+import jax
 import numpy as np
 import pytest
 
@@ -103,6 +104,31 @@ def test_backward_engines_match_scalar(dfm, fm, mode, monkeypatch):
         assert key(got[i]) == key(want), f"{mode} mismatch for {s.name}"
         n_checked += 1
     assert n_checked >= 28
+
+
+@pytest.mark.skipif(
+    jax.default_backend() in ("cpu",),
+    reason="compiled Mosaic path needs a TPU backend (interpret-mode "
+    "coverage lives in test_backward_engines_match_scalar[pallas_interp])",
+)
+def test_backward_pallas_compiled_tpu(dfm, fm, monkeypatch):
+    """Opt-in hardware check: MPIBWA_BWD=pallas (compiled Mosaic kernel,
+    not interpret mode) reproduces scalar bwt_smem1a emission on a real
+    TPU backend."""
+    from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
+
+    monkeypatch.setenv("MPIBWA_BWD", "pallas")
+    opt = mem_opt_init()
+    seeder = DeviceSeeder(dfm, opt)
+    reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=16)
+    got, _ = seeder.collect_batch([s.seq for s in reads])
+    n_checked = 0
+    for i, s in enumerate(reads):
+        if got[i] is None:
+            continue
+        assert got[i] == collect_intv(opt, fm, s.seq), f"mismatch {s.name}"
+        n_checked += 1
+    assert n_checked >= 14
 
 
 def test_v8_shrink_schedule_exact(dfm, fm, monkeypatch):

@@ -42,6 +42,53 @@ def test_bgzf_roundtrip(tmp_path):
     assert blk[0:4] == b"\x1f\x8b\x08\x04"
 
 
+def test_bgzf_reader(tmp_path):
+    from mpibwa_tpu.io.bgzf import BGZFReader, is_bgzf
+
+    buf = _io.BytesIO()
+    w = BGZFWriter(buf, level=3)
+    recs = [f"rec{i}\t{'y' * (i % 511)}\n".encode() for i in range(4000)]
+    for r in recs:
+        w.write_record(r)
+    w.close(write_eof=True)
+    raw = buf.getvalue()
+
+    # sequential read + line iteration
+    r = BGZFReader(_io.BytesIO(raw))
+    assert r.read() == b"".join(recs)
+    r = BGZFReader(_io.BytesIO(raw))
+    assert list(r) == recs
+
+    # virtual-offset tell/seek round trip: remember offsets of every 500th
+    # record, then seek back in arbitrary order and re-read each line
+    r = BGZFReader(_io.BytesIO(raw))
+    marks = {}
+    for i, _ in enumerate(recs):
+        if i % 500 == 0:
+            marks[i] = r.tell()
+        r.readline()
+    for i in sorted(marks, reverse=True):
+        r.seek(marks[i])
+        assert r.readline() == recs[i]
+
+    # bounded read sizes cross block boundaries correctly
+    r = BGZFReader(_io.BytesIO(raw))
+    got = bytearray()
+    while True:
+        piece = r.read(7777)
+        if not piece:
+            break
+        got += piece
+    assert bytes(got) == b"".join(recs)
+
+    p = tmp_path / "t.gz"
+    p.write_bytes(raw)
+    assert is_bgzf(p)
+    p2 = tmp_path / "plain.gz"
+    p2.write_bytes(gzip.compress(b"hello"))
+    assert not is_bgzf(p2)
+
+
 def test_headers():
     class A:
         name, length = "chr1", 1000
