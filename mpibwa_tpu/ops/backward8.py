@@ -54,6 +54,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
+from mpibwa_tpu.ops.pulls import pull_prefix
+
 M33 = jnp.uint32(0x33333333)
 M55 = jnp.uint32(0x55555555)
 M0F = jnp.uint32(0x0F0F0F0F)
@@ -322,7 +324,7 @@ def _merge_filter(acc, acc_off, tail_cols, n_tail_cap: int, n_tail,
 
 
 def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
-                  min_len=0, raw=False):
+                  min_len=0, raw=False, est_rows=0):
     """Driver matching seeding_flat.run_backward_flat's contract, except
     x[1] of the returned mems is the un-extended forward value (see module
     docstring, fact 3) and mems shorter than min_len are dropped on device
@@ -331,8 +333,12 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     shrink didn't fit (the caller redoes the group on the exact engine).
 
     raw=True: returns ((n, 6) int32 rows [x0, x1, x2, start, end, lane],
-    overflow bool) with ONE control sync (n + overflow ride one tiny pull)
-    and no per-row Python — the arrays-end-to-end fast path."""
+    overflow bool) and no per-row Python — the arrays-end-to-end fast
+    path. When est_rows > 0, a [n | overflow] header row is prepended to
+    the row buffer device-side and the first 1 + est_rows rows ride ONE
+    speculative pull (typical row yield is ~0.1/lane, so a generous
+    estimate still moves ~25 B/lane); only an underestimate pays a second
+    pull for the full prefix."""
     tables = fm.occ16_tables()
     NL, L = int(qrows_dev.shape[0]), int(qrows_dev.shape[1])
     ik_d, info_d, lane_d, live_d = entry_dev
@@ -405,16 +411,31 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
                                    jnp.int32(min_len))
 
     if raw:
-        # one tiny control pull: [n_keep, any-overflow]
         ov_d = (jnp.any(jnp.stack(ov_flags)) if ov_flags
                 else jnp.asarray(False))
+        if est_rows > 0:
+            hdr = jnp.concatenate(
+                [n_keep[None], ov_d.astype(jnp.int32)[None],
+                 jnp.zeros(4, jnp.int32)])[None, :]
+            comb = jnp.concatenate([hdr, rows_d], axis=0)
+            est = min(int(rows_d.shape[0]), int(est_rows))
+            first = pull_prefix(comb, 1 + est)
+            n, ov = int(first[0, 0]), bool(first[0, 1])
+            if ov:
+                return np.zeros((0, 6), np.int32), True
+            if n == 0:
+                return np.zeros((0, 6), np.int32), False
+            if n <= est:
+                return first[1 : 1 + n], False
+            return pull_prefix(rows_d, n), False
+        # one tiny control pull: [n_keep, any-overflow]
         ctrl = np.asarray(jnp.stack([n_keep, ov_d.astype(jnp.int32)]))
         if bool(ctrl[1]):
             return np.zeros((0, 6), np.int32), True
         n = int(ctrl[0])
         if n == 0:
             return np.zeros((0, 6), np.int32), False
-        return np.asarray(rows_d[:n]), False
+        return pull_prefix(rows_d, n), False
 
     overflow = np.zeros(n_lanes, bool)
     if ov_flags and bool(np.any(np.asarray(jnp.stack(ov_flags)))):
@@ -423,7 +444,7 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     n = int(n_keep)
     out_mems = [[] for _ in range(n_lanes)]
     if n:
-        rows = np.asarray(rows_d[:n])
+        rows = pull_prefix(rows_d, n)
         lanes = rows[:, 5]
         infos = (rows[:, 3].astype(np.int64) << 32) | rows[:, 4]
         for j in range(n):

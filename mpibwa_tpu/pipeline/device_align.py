@@ -150,6 +150,55 @@ class DeviceAligner:
             np.asarray(self.dfm.sa_lookup_jit(jnp.asarray(arr)))[:n],
             dtype=np.int64)
 
+    def _sa_prefetch(self, mems_flat):
+        """Dispatch the SA walk for the whole batch BEFORE the C chain
+        session starts, so the device resolves positions while C chains.
+
+        fin_chain_begin's SA enumeration (native/finalize.c) is the
+        deterministic per-interval sampling k = j*step (bwamem.c
+        mem_chain semantics), which depends only on the interval rows —
+        not on the ksort order — so the superset over the unsorted rows
+        equals the set C will ask for. Returns a resolve(ks) closure
+        serving from the prefetched table; any position outside it
+        (impossible in the current flow, kept for safety) falls back to
+        a direct synchronous walk."""
+        import jax.numpy as jnp
+
+        if len(mems_flat) == 0:
+            return self._sa_flat
+        x0 = mems_flat[:, 0]
+        x2 = mems_flat[:, 2]
+        mo = int(self.opt.max_occ)
+        step = np.where(x2 > mo, x2 // mo, 1)
+        cnt = np.minimum((x2 + step - 1) // step, mo)
+        off = np.zeros(len(cnt) + 1, np.int64)
+        np.cumsum(cnt, out=off[1:])
+        total = int(off[-1])
+        j = np.arange(total, dtype=np.int64) - np.repeat(off[:-1], cnt)
+        upos = np.unique(np.repeat(x0, cnt) + np.repeat(step, cnt) * j)
+        n = len(upos)
+        cap = 1 << max(8, (n - 1).bit_length())
+        arr = np.zeros(cap, dtype=np.int64)
+        arr[:n] = upos
+        vals_dev = self.dfm.sa_lookup_jit(jnp.asarray(arr))  # async
+        state = {}
+
+        def resolve(ks):
+            ks = np.asarray(ks, dtype=np.int64)
+            if len(ks) == 0:
+                return np.zeros(0, np.int64)
+            if "vals" not in state:
+                state["vals"] = np.ascontiguousarray(
+                    np.asarray(vals_dev)[:n], dtype=np.int64)
+            idx = np.minimum(np.searchsorted(upos, ks), n - 1)
+            out = state["vals"][idx]
+            miss = upos[idx] != ks
+            if miss.any():
+                out[miss] = self._sa_flat(ks[miss])
+            return out
+
+        return resolve
+
     def _ext_rows_run(self, c, p, maxq, maxt):
         """Array variant of _ext_coords_run: (n,6),(n,4) -> (n,6) int32."""
         import jax.numpy as jnp
@@ -242,7 +291,8 @@ class DeviceAligner:
         t["seed"] = t.get("seed", 0) + _time.time() - t0
         self.stats["fallback_reads"] += int(fallback.sum())
         t0 = _time.time()
-        res = chainer.run(seqs, (mems_flat, mem_off), self._sa_flat,
+        res = chainer.run(seqs, (mems_flat, mem_off),
+                          self._sa_prefetch(mems_flat),
                           self._ext_rows, self.MAX_SEEDS_PER_CHAIN)
         if res is None:
             return None

@@ -14,6 +14,7 @@ import numpy as np
 
 from mpibwa_tpu.core.sortutil import ks_introsort
 from mpibwa_tpu.ops import seeding
+from mpibwa_tpu.ops.pulls import pull_prefix
 from mpibwa_tpu.ops.fmd import DeviceFMIndex
 
 
@@ -21,6 +22,8 @@ def _pad_batch(qs: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     B = len(qs)
     L = max((len(q) for q in qs), default=1)
     L = max(L, 8)
+    if L >= (1 << 21):  # 21-bit call fields in the fused p1/p3 pull
+        raise ValueError("reads >= 2 Mbp unsupported by the device seeder")
     out = np.full((B, L), 4, dtype=np.uint8)
     lens = np.zeros(B, dtype=np.int32)
     for i, q in enumerate(qs):
@@ -46,27 +49,23 @@ def _pack_fwd(fwd):
                 fwd.call_len)
 
 
-def _pack_pass3(p3):
-    """(B, 2 + 4*S) int64 = [overflow, n_seeds, seeds.flat, infos]."""
-    import jax
-    import jax.numpy as jnp
-
-    @jax.jit
-    def pack(ov, n, seeds, infos):
-        B, S = infos.shape
-        return jnp.concatenate(
-            [ov.astype(jnp.int64)[:, None], n.astype(jnp.int64)[:, None],
-             seeds.astype(jnp.int64).reshape(B, 3 * S),
-             infos.astype(jnp.int64)], axis=1)
-
-    return pack(p3.overflow, p3.n_seeds, p3.seeds, p3.infos)
-
-
 def _fused_p1_p3(fm, qd, lensd, min_seed_len, max_intv):
-    """Pass-1 forward + pass-3 automata in ONE jitted call: one dispatch and
-    one packed pull instead of two (each device->host round trip costs
-    ~40-100 ms on a tunnel-attached chip). Returns (ivals, infos,
-    (B, fwd_cols + p3_cols) int64)."""
+    """Pass-1 forward + pass-3 automata in ONE jitted call, with the
+    host-bound outputs COMPACTED device-side so the pull bytes track the
+    content (~130 B/read measured on 101 bp data) instead of the dense
+    (B, 244) int64 layout (1952 B/read) it replaces — the tunnel link is
+    ~6 MB/s, so the dense pull alone cost ~5 s per 16 K microbatch.
+
+    Returns (ivals, infos, counts_d, buf_d): counts (B, 4) int32
+    [fwd_overflow, n_calls, p3_overflow, n_seeds]; buf one int64 vector
+    holding the compacted call words (x<<42 | start<<21 | len, b-major —
+    lane order == the b_of/c_of enumeration downstream) at [0, e1)
+    immediately followed by the compacted pass-3 seed quads
+    [s0, s1, s2, info] at [e1, e1 + 4*e3), where e1 = sum(min(n_calls,
+    C_CAP)) and e3 = sum(min(n_seeds, S3_CAP)). The caller pulls counts,
+    derives e1/e3, and pulls ONE pow2-bucketed prefix of buf; capacity is
+    the dense worst case, so no overflow path is needed. The 21-bit call
+    fields bound read length at 2 Mbp (checked in _pad_batch)."""
     import functools
 
     import jax
@@ -77,21 +76,60 @@ def _fused_p1_p3(fm, qd, lensd, min_seed_len, max_intv):
         B = qd.shape[0]
         fwd = seeding.forward_pass(fm, qd, lensd,
                                    jnp.ones(B, jnp.int64), True)
-        pf = jnp.concatenate(
-            [fwd.overflow.astype(jnp.int64)[:, None],
-             fwd.n_calls.astype(jnp.int64)[:, None],
-             fwd.call_x.astype(jnp.int64), fwd.call_start.astype(jnp.int64),
-             fwd.call_len.astype(jnp.int64)], axis=1)
         p3 = seeding.pass3(fm, qd, lensd, msl, mmi)
+        counts = jnp.stack(
+            [fwd.overflow.astype(jnp.int32), fwd.n_calls.astype(jnp.int32),
+             p3.overflow.astype(jnp.int32), p3.n_seeds.astype(jnp.int32)],
+            axis=1)
+        C = fwd.call_x.shape[1]
         S = p3.infos.shape[1]
-        p3p = jnp.concatenate(
-            [p3.overflow.astype(jnp.int64)[:, None],
-             p3.n_seeds.astype(jnp.int64)[:, None],
-             p3.seeds.astype(jnp.int64).reshape(B, 3 * S),
-             p3.infos.astype(jnp.int64)], axis=1)
-        return fwd.ivals, fwd.infos, jnp.concatenate([pf, p3p], axis=1)
+        TOT = B * C + 4 * B * S
+
+        cw = ((fwd.call_x.astype(jnp.int64) << 42)
+              | (fwd.call_start.astype(jnp.int64) << 21)
+              | fwd.call_len.astype(jnp.int64)).ravel()
+        maskc = (jnp.arange(C, dtype=jnp.int32)[None, :]
+                 < jnp.minimum(fwd.n_calls, C).astype(jnp.int32)[:, None]
+                 ).ravel()
+        posc = jnp.cumsum(maskc.astype(jnp.int32)) - 1
+        e1 = jnp.minimum(fwd.n_calls, C).astype(jnp.int32).sum()
+
+        quads = jnp.concatenate(
+            [p3.seeds.astype(jnp.int64),
+             p3.infos.astype(jnp.int64)[:, :, None]],
+            axis=2).reshape(B * S, 4)
+        masks = (jnp.arange(S, dtype=jnp.int32)[None, :]
+                 < jnp.minimum(p3.n_seeds, S).astype(jnp.int32)[:, None]
+                 ).ravel()
+        poss = jnp.cumsum(masks.astype(jnp.int32)) - 1
+
+        buf = jnp.zeros(TOT + 1, jnp.int64)
+        buf = buf.at[jnp.where(maskc, posc, TOT)].set(cw, mode="drop")
+        base = e1 + 4 * poss
+        for j in range(4):
+            buf = buf.at[jnp.where(masks, base + j, TOT)].set(
+                quads[:, j], mode="drop")
+        return fwd.ivals, fwd.infos, counts, buf[:TOT]
 
     return run(fm, qd, lensd, min_seed_len, max_intv)
+
+
+def _pull_p1p3(counts_d, buf_d):
+    """Pull the fused pass-1/pass-3 results: counts, then ONE
+    pow2-bucketed prefix of the combined buffer (see _fused_p1_p3).
+    Returns (counts, fallback, ncl, calls_np (e1, 3) int64 [x, start,
+    len], n3 (B,) clamped, seeds_np (e3, 4) int64)."""
+    counts = np.asarray(counts_d)
+    fallback = counts[:, 0] != 0
+    ncl = np.minimum(counts[:, 1].astype(np.int64), seeding.C_CAP)
+    n3 = np.minimum(counts[:, 3].astype(np.int64), seeding.S3_CAP)
+    e1, e3 = int(ncl.sum()), int(n3.sum())
+    words = pull_prefix(buf_d, e1 + 4 * e3, min_cap=1024)
+    w = words[:e1]
+    M21 = (1 << 21) - 1
+    calls_np = np.stack([w >> 42, (w >> 21) & M21, w & M21], axis=1)
+    seeds_np = words[e1 : e1 + 4 * e3].reshape(e3, 4)
+    return counts, fallback, ncl, calls_np, n3, seeds_np
 
 
 def _pack_fwd1(fwd):
@@ -292,39 +330,40 @@ class DeviceSeeder:
         self.last_qd = qd  # reused by the extension/cigar coord kernels
         lensd = jnp.asarray(lens)
 
-        # ---- pass 1 forward (+ pass 3, fused: one dispatch, one pull) ----
-        packed3 = None
+        # ---- pass 1 forward (+ pass 3, fused: one dispatch, sparse pull) ----
+        p3_sparse = None
         if opt.max_mem_intv > 0:
-            ivals1, infos1, combined = _fused_p1_p3(
+            ivals1, infos1, counts_d, buf_d = _fused_p1_p3(
                 self.dfm, qd, lensd, opt.min_seed_len, opt.max_mem_intv)
-            combined = np.asarray(combined)  # ONE pull for both automata
-            fwd_cols = 2 + 3 * seeding.C_CAP
-            packed = combined[:, :fwd_cols]
-            packed3 = combined[:, fwd_cols:]
+            counts, fallback, ncl, calls_np, n3_all, seeds_np = _pull_p1p3(
+                counts_d, buf_d)
+            p3_sparse = (counts[:, 2], n3_all, seeds_np)
         else:
             min1 = jnp.ones(B, dtype=jnp.int64)
             fwd = seeding.forward_pass(self.dfm, qd, lensd, min1, True)
             packed = np.asarray(_pack_fwd(fwd))
             ivals1, infos1 = fwd.ivals, fwd.infos
-        C = (packed.shape[1] - 2) // 3
-        fallback = packed[:, 0] != 0
-        n_calls = packed[:, 1]
-        call_x = packed[:, 2 : 2 + C]
-        call_start = packed[:, 2 + C : 2 + 2 * C]
-        call_len = packed[:, 2 + 2 * C :]
+            C = (packed.shape[1] - 2) // 3
+            fallback = packed[:, 0] != 0
+            n_calls = packed[:, 1].astype(np.int64)
+            ncl = np.minimum(n_calls, C)
+            b_ = np.repeat(np.arange(B, dtype=np.int64), ncl)
+            base = np.zeros(B, np.int64)
+            np.cumsum(ncl[:-1], out=base[1:])
+            c_ = np.arange(len(b_), dtype=np.int64) - base[b_]
+            calls_np = np.stack(
+                [packed[b_, 2 + c_], packed[b_, 2 + C + c_],
+                 packed[b_, 2 + 2 * C + c_]], axis=1).astype(np.int32)
         t0 = _mark("fwd1", t0)
 
         # vectorized lane table: (n_lanes, 5) rows
         # [read, call_start, call_len, call_x, min_intv]
-        ncl = np.minimum(n_calls, call_x.shape[1]).astype(np.int64)
+        # calls_np is b-major compacted, so rows align with b_of order.
         b_of = np.repeat(np.arange(B, dtype=np.int64), ncl)
-        lane_base = np.zeros(B, np.int64)
-        np.cumsum(ncl[:-1], out=lane_base[1:])
-        c_of = np.arange(len(b_of), dtype=np.int64) - lane_base[b_of]
         lanes1 = np.stack(
-            [b_of, call_start[b_of, c_of].astype(np.int64),
-             call_len[b_of, c_of].astype(np.int64),
-             call_x[b_of, c_of].astype(np.int64),
+            [b_of, calls_np[:, 1].astype(np.int64),
+             calls_np[:, 2].astype(np.int64),
+             calls_np[:, 0].astype(np.int64),
              np.ones(len(b_of), np.int64)], axis=1)
         t0 = _mark("tables1", t0)
         mems_l1 = self._run_backward_for_calls(qd, lanes1, ivals1,
@@ -397,21 +436,22 @@ class DeviceSeeder:
                         pass2[b].append(iv)
 
         t0 = _mark("pass2", t0)
-        # ---- pass 3 (already computed in the fused pass-1 pull) ----
+        # ---- pass 3 (already computed in the fused pass-1 dispatch) ----
         pass3_out = [[] for _ in range(B)]
-        if packed3 is not None:
-            S3 = (packed3.shape[1] - 2) // 4
-            for b in np.nonzero(packed3[:, 0])[0]:
+        if p3_sparse is not None:
+            ov3, n3, seeds_np = p3_sparse
+            for b in np.nonzero(ov3)[0]:
                 fallback[b] = True
-            n3 = packed3[:, 1]
-            s3 = packed3[:, 2 : 2 + 3 * S3].reshape(B, S3, 3)
-            i3 = packed3[:, 2 + 3 * S3 :]
-            for b in range(B):
+            e3 = len(seeds_np)
+            read3 = np.repeat(np.arange(B, dtype=np.int64), n3)
+            for j in range(e3):
+                b = read3[j]
                 if fallback[b]:
                     continue  # overflowed rows (n3 > capacity) go scalar
-                for j in range(n3[b]):
-                    pass3_out[b].append((int(s3[b, j, 0]), int(s3[b, j, 1]),
-                                         int(s3[b, j, 2]), int(i3[b, j])))
+                pass3_out[b].append((int(seeds_np[j, 0]),
+                                     int(seeds_np[j, 1]),
+                                     int(seeds_np[j, 2]),
+                                     int(seeds_np[j, 3])))
 
         t0 = _mark("pass3", t0)
         out: List[Optional[List[tuple]]] = []
@@ -477,7 +517,8 @@ class DeviceSeeder:
                 jnp.asarray(ltbl), pad2(e))
             rows, ov = B8.run_backward8(
                 self.dfm, qd[jnp.asarray(lrow)], (ik, info, lane, live),
-                NLp, x0, minv, min_len=self.opt.min_seed_len, raw=True)
+                NLp, x0, minv, min_len=self.opt.min_seed_len, raw=True,
+                est_rows=N // 8 + 1024)
             return rows, bool(ov)
         # shim: per-lane lists -> rows with the same filter
         fb = np.zeros(1 + max(c[0] for c in call_list), bool)
@@ -528,37 +569,36 @@ class DeviceSeeder:
         self.last_qd = qd
         lensd = jnp.asarray(lens)
 
-        # ---- pass 1 forward (+ pass 3, fused) ----
-        packed3 = None
+        # ---- pass 1 forward (+ pass 3, fused, sparse pull) ----
+        p3_sparse = None
         if opt.max_mem_intv > 0:
-            ivals1, infos1, combined = _fused_p1_p3(
+            ivals1, infos1, counts_d, buf_d = _fused_p1_p3(
                 self.dfm, qd, lensd, opt.min_seed_len, opt.max_mem_intv)
-            combined = np.asarray(combined)
-            fwd_cols = 2 + 3 * seeding.C_CAP
-            packed = combined[:, :fwd_cols]
-            packed3 = combined[:, fwd_cols:]
+            counts, fallback, ncl, calls_np, n3_all, seeds_np = _pull_p1p3(
+                counts_d, buf_d)
+            p3_sparse = (counts[:, 2], n3_all, seeds_np)
         else:
             min1 = jnp.ones(B, dtype=jnp.int64)
             fwd = seeding.forward_pass(self.dfm, qd, lensd, min1, True)
             packed = np.asarray(_pack_fwd(fwd))
             ivals1, infos1 = fwd.ivals, fwd.infos
-        C = (packed.shape[1] - 2) // 3
-        fallback = packed[:, 0] != 0
-        n_calls = packed[:, 1]
-        call_x = packed[:, 2 : 2 + C]
-        call_start = packed[:, 2 + C : 2 + 2 * C]
-        call_len = packed[:, 2 + 2 * C :]
+            C = (packed.shape[1] - 2) // 3
+            fallback = packed[:, 0] != 0
+            ncl = np.minimum(packed[:, 1].astype(np.int64), C)
+            b_ = np.repeat(np.arange(B, dtype=np.int64), ncl)
+            base = np.zeros(B, np.int64)
+            np.cumsum(ncl[:-1], out=base[1:])
+            c_ = np.arange(len(b_), dtype=np.int64) - base[b_]
+            calls_np = np.stack(
+                [packed[b_, 2 + c_], packed[b_, 2 + C + c_],
+                 packed[b_, 2 + 2 * C + c_]], axis=1).astype(np.int32)
         t0 = _mark("fwd1", t0)
 
-        ncl = np.minimum(n_calls, call_x.shape[1]).astype(np.int64)
         b_of = np.repeat(np.arange(B, dtype=np.int64), ncl)
-        lane_base = np.zeros(B, np.int64)
-        np.cumsum(ncl[:-1], out=lane_base[1:])
-        c_of = np.arange(len(b_of), dtype=np.int64) - lane_base[b_of]
         lanes1 = np.stack(
-            [b_of, call_start[b_of, c_of].astype(np.int64),
-             call_len[b_of, c_of].astype(np.int64),
-             call_x[b_of, c_of].astype(np.int64),
+            [b_of, calls_np[:, 1].astype(np.int64),
+             calls_np[:, 2].astype(np.int64),
+             calls_np[:, 0].astype(np.int64),
              np.ones(len(b_of), np.int64)], axis=1)
         t0 = _mark("tables1", t0)
         rows1, ov1 = self._backward_rows(qd, list(lanes1), ivals1, infos1)
@@ -619,17 +659,14 @@ class DeviceSeeder:
         # ---- pass 3 rows ----
         rows3 = np.zeros((0, 4), np.int64)
         read3 = np.zeros(0, np.int64)
-        if packed3 is not None:
-            S3 = (packed3.shape[1] - 2) // 4
-            fallback |= packed3[:, 0] != 0
-            n3 = np.where(fallback, 0, np.minimum(packed3[:, 1], S3))
-            s3 = packed3[:, 2 : 2 + 3 * S3].reshape(B, S3, 3)
-            i3 = packed3[:, 2 + 3 * S3 :]
-            m3 = np.arange(S3)[None, :] < n3[:, None]
-            if m3.any():
+        if p3_sparse is not None:
+            ov3, n3, seeds_np = p3_sparse
+            fallback |= ov3 != 0
+            if len(seeds_np):
                 read3 = np.repeat(np.arange(B, dtype=np.int64), n3)
-                rows3 = np.concatenate(
-                    [s3[m3], i3[m3][:, None]], axis=1).astype(np.int64)
+                keep3 = ~fallback[read3]
+                read3 = read3[keep3]
+                rows3 = seeds_np[keep3]
         t0 = _mark("pass3", t0)
 
         # ---- combine per read: pass order within read, no sort ----

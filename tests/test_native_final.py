@@ -184,6 +184,40 @@ def test_native_ext_matches_device_ext(lib, index):
         assert x.sam == y.sam, (x.name,)
 
 
+def test_collect_flat_v8_raw_speculative(lib, index, monkeypatch):
+    """The v8 raw row path (normally TPU-only) must produce the same
+    pre-sort stream as the flat engine, through BOTH speculative-pull
+    branches: the single-pull hit (generous est_rows) and the
+    underestimate that pays a second full pull (est_rows forced to 1).
+    v8 does not maintain x[1] (consumed by nothing downstream, see
+    ops/backward8.py), so streams are compared on (x0, x2, info)."""
+    from mpibwa_tpu.ops import backward8 as B8
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    opt = mem_opt_init()
+    al = DeviceAligner(index, opt)
+    qs = [s.seq for s in
+          read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=96)]
+    ref = al.seeder.collect_flat(qs)  # default engine on CPU: flat
+    assert ref is not None
+    key = [0, 2, 3]
+
+    monkeypatch.setenv("MPIBWA_BWD", "v8")
+    got = al.seeder.collect_flat(qs)
+    assert got is not None
+    assert np.array_equal(got[0][:, key], ref[0][:, key])
+    assert (got[1] == ref[1]).all()
+
+    orig = B8.run_backward8
+    monkeypatch.setattr(
+        B8, "run_backward8",
+        lambda *a, **k: orig(*a, **{**k, "est_rows": 1}))
+    got2 = al.seeder.collect_flat(qs)
+    assert got2 is not None
+    assert np.array_equal(got2[0][:, key], ref[0][:, key])
+    assert (got2[1] == ref[1]).all()
+
+
 def test_collect_flat_matches_list_path(lib, index):
     """The arrays-end-to-end seeder (collect_flat) must produce row-for-row
     the same pre-sort interval stream as the per-read list path."""
