@@ -182,14 +182,16 @@ class DeviceAligner:
         arr[:n] = upos
         vals_dev = self.dfm.sa_lookup_jit(jnp.asarray(arr))  # async
         state = {}
+        lock = __import__("threading").Lock()
 
         def resolve(ks):
             ks = np.asarray(ks, dtype=np.int64)
             if len(ks) == 0:
                 return np.zeros(0, np.int64)
-            if "vals" not in state:
-                state["vals"] = np.ascontiguousarray(
-                    np.asarray(vals_dev)[:n], dtype=np.int64)
+            with lock:  # concurrent chain ranges share one table
+                if "vals" not in state:
+                    state["vals"] = np.ascontiguousarray(
+                        np.asarray(vals_dev)[:n], dtype=np.int64)
             idx = np.minimum(np.searchsorted(upos, ks), n - 1)
             out = state["vals"][idx]
             miss = upos[idx] != ks
@@ -276,23 +278,39 @@ class DeviceAligner:
         has[small] = 3
         return out_r, has
 
-    def _align_arrays_inner(self, seqs, chainer):
-        """Native-chain variant of _align_regs_inner: returns
-        (regs packed array, reg_off) or None -> Python path."""
+    def _seed_stage(self, seqs):
+        """Device phase of one microbatch: seeding rows + the async SA
+        prefetch dispatch. Runs on a helper thread in align_arrays so the
+        NEXT microbatch's device work overlaps the CURRENT microbatch's C
+        chain session (which releases the GIL). Returns
+        (rows, qd, resolve) or None on backward overflow."""
         import time as _time
 
         t = self.stats.setdefault("t", {})
         t0 = _time.time()
         got = self.seeder.collect_flat([s.seq for s in seqs])
-        self._qd = self.seeder.last_qd
+        qd = self.seeder.last_qd
         if got is None:  # backward overflow: the exact list path handles it
             return None
-        mems_flat, mem_off, fallback = got
+        resolve = self._sa_prefetch(got[0])
         t["seed"] = t.get("seed", 0) + _time.time() - t0
+        return got, qd, resolve
+
+    def _align_arrays_inner(self, seqs, chainer, staged=None):
+        """Native-chain variant of _align_regs_inner: returns
+        (regs packed array, reg_off) or None -> Python path."""
+        import time as _time
+
+        t = self.stats.setdefault("t", {})
+        if staged is None:
+            staged = self._seed_stage(seqs)
+            if staged is None:
+                return None
+        got, self._qd, resolve = staged
+        mems_flat, mem_off, fallback = got
         self.stats["fallback_reads"] += int(fallback.sum())
         t0 = _time.time()
-        res = chainer.run(seqs, (mems_flat, mem_off),
-                          self._sa_prefetch(mems_flat),
+        res = chainer.run(seqs, (mems_flat, mem_off), resolve,
                           self._ext_rows, self.MAX_SEEDS_PER_CHAIN)
         if res is None:
             return None
@@ -322,12 +340,19 @@ class DeviceAligner:
 
     def align_arrays(self, seqs):
         """Microbatched native-chain alignment: packed regions for the
-        whole batch, or None -> caller uses the Python path."""
+        whole batch, or None -> caller uses the Python path. Microbatches
+        run as a two-stage pipeline: while the C chain session of
+        microbatch i holds the cores (GIL released), a helper thread
+        drives microbatch i+1's device seeding, so single-chunk calls
+        (the reference's default whole-file -K) keep both resources
+        busy."""
+        import concurrent.futures
+
         chainer = self._native_chainer()
         if chainer is None or not seqs:
             return None
         MB = self.MICROBATCH
-        parts = []
+        subs = []
         for off in range(0, len(seqs), MB):
             sub = seqs[off : off + MB]
             if 0 < len(sub) < MB and len(sub) >= 256:
@@ -337,18 +362,27 @@ class DeviceAligner:
                 pad_n = min(cap, MB) - len(sub)
                 dummy = BSeq(name="__pad__", seq=np.zeros(8, np.uint8),
                              qual="IIIIIIII")
-                padded = list(sub) + [dummy] * pad_n
-                res = self._align_arrays_inner(padded, chainer)
-                if res is not None:
+                subs.append((sub, list(sub) + [dummy] * pad_n))
+            else:
+                subs.append((sub, sub))
+        parts = []
+        with concurrent.futures.ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(self._seed_stage, subs[0][1])
+            for i, (sub, padded) in enumerate(subs):
+                staged = fut.result()
+                if i + 1 < len(subs):
+                    fut = ex.submit(self._seed_stage, subs[i + 1][1])
+                if staged is None:
+                    return None
+                res = self._align_arrays_inner(padded, chainer, staged)
+                if res is None:
+                    return None
+                if len(padded) != len(sub):
                     regs, reg_off = res
                     regs = regs[: reg_off[len(sub)]]
                     reg_off = reg_off[: len(sub) + 1]
                     res = (regs, reg_off)
-            else:
-                res = self._align_arrays_inner(sub, chainer)
-            if res is None:
-                return None
-            parts.append(res)
+                parts.append(res)
         if len(parts) == 1:
             return parts[0]
         regs = np.concatenate([p[0] for p in parts])

@@ -15,11 +15,42 @@ finalization instead, so bit-exactness never depends on this module.
 
 from __future__ import annotations
 
+import contextlib
 import ctypes
 import os
+import threading
 from typing import List, Optional
 
 import numpy as np
+
+# Core-share bookkeeping for intra-batch parallel C phases: each entering
+# batch takes a slot and receives its fair share of cores, so a single
+# whole-file chunk (the reference's default -K covers the bundled example
+# in one chunk) fans out across all cores while concurrent pipelined
+# workers automatically split them instead of oversubscribing.
+_CPU = os.cpu_count() or 1
+_active = [0]
+_active_lock = threading.Lock()
+_MIN_SPLIT = 2048  # reads per extra thread before splitting pays
+
+
+@contextlib.contextmanager
+def _core_share():
+    with _active_lock:
+        _active[0] += 1
+        share = max(1, _CPU // _active[0])
+    try:
+        yield share
+    finally:
+        with _active_lock:
+            _active[0] -= 1
+
+
+def _cuts(n: int, T: int, pair_align: bool):
+    c = [round(i * n / T) for i in range(T + 1)]
+    if pair_align:
+        c = [x & ~1 for x in c[:-1]] + [n]
+    return c
 
 REG_DTYPE = np.dtype([
     ("rb", "<i8"), ("re", "<i8"),
@@ -238,11 +269,52 @@ class NativeChainer:
         int64[n] runs the device SA walk; ext_rows(coords, params) ->
         ((B,12) int32 rows, (B,) uint8 has-bits) runs the device extension
         rounds. Returns (regs structured array, reg_off int64[n+1]) or
-        None."""
+        None.
+
+        Reads are independent through the whole chain phase (per-read
+        kbtree + per-read regions; the SA/extension device fan-outs are
+        order-insensitive), so large batches split into contiguous read
+        ranges chained by concurrent C sessions — the library releases
+        the GIL and keeps only per-session state (g_oom is
+        _Thread_local). Range results concatenate to the byte-identical
+        single-session output."""
+        import concurrent.futures
+
+        n = len(seqs)
+        mems_flat, mem_off = mems
+        if not self.fin._ensure_ctx():  # once, before any range threads
+            return None
+        with _core_share() as share:
+            T = max(1, min(share, n // _MIN_SPLIT))
+            if T <= 1:
+                return self._run_range(seqs, mems_flat, mem_off,
+                                       resolve_sa, ext_rows, max_subset)
+            cuts = _cuts(n, T, False)
+
+            def piece(k):
+                lo, hi = cuts[k], cuts[k + 1]
+                mf = mems_flat[mem_off[lo] : mem_off[hi]]
+                mo = mem_off[lo : hi + 1] - mem_off[lo]
+                return self._run_range(seqs[lo:hi], mf, mo, resolve_sa,
+                                       ext_rows, max_subset)
+
+            with concurrent.futures.ThreadPoolExecutor(T) as ex:
+                outs = list(ex.map(piece, range(T)))
+        if any(o is None for o in outs):
+            return None
+        regs = np.concatenate([o[0] for o in outs])
+        offs = [outs[0][1]]
+        base = outs[0][1][-1]
+        for o in outs[1:]:
+            offs.append(o[1][1:] + base)
+            base += o[1][-1]
+        return regs, np.concatenate(offs)
+
+    def _run_range(self, seqs, mems_flat, mem_off, resolve_sa, ext_rows,
+                   max_subset):
         if not self.fin._ensure_ctx():
             return None
         lib = self.fin.lib
-        mems_flat, mem_off = mems
         mems_flat = np.ascontiguousarray(mems_flat, dtype=np.int64)
         n = len(seqs)
         blobs = self.fin._pack_blobs(seqs)
@@ -324,7 +396,41 @@ class NativeChainer:
 
     def finalize_packed(self, seqs, regs, reg_off, pe, n_processed, rg_id,
                         pes=None) -> bool:
-        """fin_batch over already-packed regions (the native-chain output)."""
+        """fin_batch over already-packed regions (the native-chain output).
+
+        Finalization is per-read (SE) / per-pair (PE) independent given
+        the batch-global pes stats, and the deterministic tie-break
+        hashes key on n_processed + index — so large batches split into
+        contiguous (pair-aligned) ranges finalized by concurrent C calls
+        with rebased id bases, byte-identical to the single call."""
+        import concurrent.futures
+
+        n = len(seqs)
+        if not self.fin._ensure_ctx():  # once, before any range threads
+            return False
+        with _core_share() as share:
+            T = max(1, min(share, n // _MIN_SPLIT))
+            if T <= 1:
+                return self._finalize_packed_range(
+                    seqs, regs, reg_off, pe, n_processed, rg_id, pes)
+            cuts = _cuts(n, T, pe)
+
+            def piece(k):
+                lo, hi = cuts[k], cuts[k + 1]
+                if lo >= hi:
+                    return True
+                r = np.ascontiguousarray(regs[reg_off[lo] : reg_off[hi]])
+                ro = reg_off[lo : hi + 1] - reg_off[lo]
+                ok = self._finalize_packed_range(
+                    seqs[lo:hi], r, ro, pe,
+                    n_processed + ((lo >> 1) if pe else lo), rg_id, pes)
+                return ok
+
+            with concurrent.futures.ThreadPoolExecutor(T) as ex:
+                return all(ex.map(piece, range(T)))
+
+    def _finalize_packed_range(self, seqs, regs, reg_off, pe, n_processed,
+                               rg_id, pes=None) -> bool:
         fin = self.fin
         if not fin._ensure_ctx():
             return False

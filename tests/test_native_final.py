@@ -184,6 +184,30 @@ def test_native_ext_matches_device_ext(lib, index):
         assert x.sam == y.sam, (x.name,)
 
 
+def test_parallel_chain_finalize_identity(lib, index, monkeypatch):
+    """Splitting a batch across concurrent C chain sessions and
+    pair-aligned C finalize ranges (native_final._core_share fan-out)
+    must be byte-identical to the single-session path."""
+    import mpibwa_tpu.pipeline.native_final as NF
+    from mpibwa_tpu.pipeline.device_align import DeviceAligner
+
+    opt = mem_opt_init()
+    opt.flag |= MEM_F_PE
+    r1 = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=600)
+    r2 = read_fastq(fastq_path("HCC1187C_R2_10K.fastq"), limit=600)
+    seqs = interleave(r1, r2)
+    al = DeviceAligner(index, opt)
+    al.process_seqs(seqs, n_processed=0)  # 1200 < _MIN_SPLIT: single path
+    want = [s.sam for s in seqs]
+    assert all(want)
+
+    monkeypatch.setattr(NF, "_MIN_SPLIT", 64)
+    for s in seqs:
+        s.sam = None
+    DeviceAligner(index, opt).process_seqs(seqs, n_processed=0)
+    assert [s.sam for s in seqs] == want
+
+
 def test_collect_flat_v8_raw_speculative(lib, index, monkeypatch):
     """The v8 raw row path (normally TPU-only) must produce the same
     pre-sort stream as the flat engine, through BOTH speculative-pull
