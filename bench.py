@@ -89,6 +89,16 @@ def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden):
     if os.path.exists(golden):
         got = "".join(s.sam for s in seqs)
         ok = got == open(golden).read()
+    if os.environ.get("BENCH_STATS"):
+        agg = {}
+        for al in als:
+            for k, v in al.stats.get("t", {}).items():
+                agg[k] = agg.get(k, 0.0) + v
+            for k, v in getattr(al.seeder, "times", {}).items():
+                agg["seed." + k] = agg.get("seed." + k, 0.0) + v
+        print(f"[bench] stage seconds (sum over workers, warm+timed): "
+              f"{ {k: round(v, 2) for k, v in sorted(agg.items())} }",
+              file=sys.stderr)
     return rates, ok
 
 
