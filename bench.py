@@ -180,6 +180,17 @@ def main():
                 idx, dfm, interleave(r1, r2), True, workers, len(r1) * 2,
                 passes, os.path.join(golden_dir, "pe_10k.sam"))
     se_rps, pe_rps = _median(se_rates), _median(pe_rates)
+    series = None
+    if os.environ.get("BENCH_SERIES"):
+        # measured worker-scaling series (SE, fewer passes): how much the
+        # pipelined-worker overlap actually buys on this host, recorded so
+        # scaling claims are data, not design intent
+        series = {}
+        for w in range(1, workers + 1):
+            rs, _ = bench_config(idx, dfm, list(r1), False, w, batch,
+                                 max(2, passes - 2),
+                                 os.path.join(golden_dir, "se_10k.sam"))
+            series[str(w)] = round(_median(rs), 1)
     if only == "" and os.environ.get("BENCH_TRIM", "1") == "1":
         # trimmed-PE identity gate (variable read lengths; not timed;
         # whole-file batch like the committed golden)
@@ -206,6 +217,7 @@ def main():
                      if se_rates else None,
         "passes": passes,
         "workers": workers,
+        "worker_series_se": series,
         "identity": identity,
     }))
 

@@ -202,15 +202,21 @@ def striped_sw_u8(fm, qd: jnp.ndarray, qcoords: jnp.ndarray, N: int, T: int,
     return SWOut(score, te, qe, score2, te2)
 
 
+_PACK_SW = []
+
+
 def _pack_sw(o):
     import jax
 
-    @jax.jit
-    def pack(a, b, c, d):
-        return jnp.stack([a.astype(jnp.int32), b.astype(jnp.int32),
-                          c.astype(jnp.int32), d.astype(jnp.int32)], axis=0)
+    if not _PACK_SW:
+        @jax.jit
+        def pack(a, b, c, d):
+            return jnp.stack([a.astype(jnp.int32), b.astype(jnp.int32),
+                              c.astype(jnp.int32), d.astype(jnp.int32)],
+                             axis=0)
 
-    return pack(o.score, o.te, o.qe, o.score2)
+        _PACK_SW.append(pack)
+    return _PACK_SW[0](o.score, o.te, o.qe, o.score2)
 
 
 def ksw_align2_batch(fm, qd, problems, opt, N: int, T: int):

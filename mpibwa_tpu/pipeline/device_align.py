@@ -810,16 +810,21 @@ def prep_global_problem(opt, refs, query_full, ar):
     return query, rseq, w, rb >= l_pac
 
 
+_PACK3 = []
+
+
 def _pack3(a, b, c):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def pack(a, b, c):
-        return jnp.stack([a.astype(jnp.int64), b.astype(jnp.int64),
-                          c.astype(jnp.int64)], axis=0)
+    if not _PACK3:
+        @jax.jit
+        def pack(a, b, c):
+            return jnp.stack([a.astype(jnp.int64), b.astype(jnp.int64),
+                              c.astype(jnp.int64)], axis=0)
 
-    return pack(a, b, c)
+        _PACK3.append(pack)
+    return _PACK3[0](a, b, c)
 
 
 def precompute_cigars(opt, refs, qs_per_read, regs_per_read, dfm=None,

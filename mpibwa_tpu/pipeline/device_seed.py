@@ -32,21 +32,34 @@ def _pad_batch(qs: List[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     return out, lens
 
 
-def _pack_fwd(fwd):
-    """Pack a forward pass's five host-bound outputs into one int32 array
-    (B, 2 + 3*C): [overflow, n_calls, call_x, call_start, call_len]."""
+def _pack_fwd_jit():
+    """Module-level memoized jit: a FRESH jax.jit per call would re-trace,
+    re-lower and re-hit the compile cache on every microbatch (~seconds on
+    the remote-compiling axon backend), so all device_seed jits are created
+    once and reused."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def pack(ov, nc, cx, cs, cl):
-        return jnp.concatenate(
-            [ov.astype(jnp.int32)[:, None], nc.astype(jnp.int32)[:, None],
-             cx.astype(jnp.int32), cs.astype(jnp.int32),
-             cl.astype(jnp.int32)], axis=1)
+    if "pack_fwd" not in _JITS:
+        @jax.jit
+        def pack(ov, nc, cx, cs, cl):
+            return jnp.concatenate(
+                [ov.astype(jnp.int32)[:, None], nc.astype(jnp.int32)[:, None],
+                 cx.astype(jnp.int32), cs.astype(jnp.int32),
+                 cl.astype(jnp.int32)], axis=1)
 
-    return pack(fwd.overflow, fwd.n_calls, fwd.call_x, fwd.call_start,
-                fwd.call_len)
+        _JITS["pack_fwd"] = pack
+    return _JITS["pack_fwd"]
+
+
+_JITS: dict = {}
+
+
+def _pack_fwd(fwd):
+    """Pack a forward pass's five host-bound outputs into one int32 array
+    (B, 2 + 3*C): [overflow, n_calls, call_x, call_start, call_len]."""
+    return _pack_fwd_jit()(fwd.overflow, fwd.n_calls, fwd.call_x,
+                           fwd.call_start, fwd.call_len)
 
 
 def _fused_p1_p3(fm, qd, lensd, min_seed_len, max_intv):
@@ -66,10 +79,17 @@ def _fused_p1_p3(fm, qd, lensd, min_seed_len, max_intv):
     derives e1/e3, and pulls ONE pow2-bucketed prefix of buf; capacity is
     the dense worst case, so no overflow path is needed. The 21-bit call
     fields bound read length at 2 Mbp (checked in _pad_batch)."""
+    return _fused_p1_p3_jit()(fm, qd, lensd, min_seed_len, max_intv)
+
+
+def _fused_p1_p3_jit():
     import functools
 
     import jax
     import jax.numpy as jnp
+
+    if "p1p3" in _JITS:
+        return _JITS["p1p3"]
 
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def run(fm, qd, lensd, msl, mmi):
@@ -111,7 +131,8 @@ def _fused_p1_p3(fm, qd, lensd, min_seed_len, max_intv):
                 quads[:, j], mode="drop")
         return fwd.ivals, fwd.infos, counts, buf[:TOT]
 
-    return run(fm, qd, lensd, min_seed_len, max_intv)
+    _JITS["p1p3"] = run
+    return run
 
 
 def _pull_p1p3(counts_d, buf_d):
@@ -138,15 +159,17 @@ def _pack_fwd1(fwd):
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def pack(ov, nc, cx, cs, cl):
-        return jnp.stack(
-            [ov.astype(jnp.int32), nc.astype(jnp.int32),
-             cx[:, 0].astype(jnp.int32), cs[:, 0].astype(jnp.int32),
-             cl[:, 0].astype(jnp.int32)], axis=1)
+    if "pack_fwd1" not in _JITS:
+        @jax.jit
+        def pack(ov, nc, cx, cs, cl):
+            return jnp.stack(
+                [ov.astype(jnp.int32), nc.astype(jnp.int32),
+                 cx[:, 0].astype(jnp.int32), cs[:, 0].astype(jnp.int32),
+                 cl[:, 0].astype(jnp.int32)], axis=1)
 
-    return pack(fwd.overflow, fwd.n_calls, fwd.call_x, fwd.call_start,
-                fwd.call_len)
+        _JITS["pack_fwd1"] = pack
+    return _JITS["pack_fwd1"](fwd.overflow, fwd.n_calls, fwd.call_x,
+                              fwd.call_start, fwd.call_len)
 
 
 class DeviceSeeder:
@@ -247,10 +270,9 @@ class DeviceSeeder:
             from mpibwa_tpu.ops import backward8 as B8
 
             def pad2(n):
-                c = 1024
-                while c < n:
-                    c <<= 1
-                return c
+                # {2^k, 1.5*2^k} ladder: tighter than pow2 (the first
+                # segments at full width dominate the backward's cost)
+                return B8.cap_bucket(n, 1024)
 
             NLp = max(16, 1 << (N - 1).bit_length())
             lane_row, lane_tbl, x0, minv, E = build_tables(call_list, NLp,
@@ -490,10 +512,8 @@ class DeviceSeeder:
             from mpibwa_tpu.ops import seeding_flat as SF
 
             def pad2(n):
-                c = 1024
-                while c < n:
-                    c <<= 1
-                return c
+                # {2^k, 1.5*2^k} ladder (see _run_backward_for_calls)
+                return B8.cap_bucket(n, 1024)
 
             NLp = max(16, 1 << (N - 1).bit_length())
             arr = np.asarray(call_list, dtype=np.int64)
