@@ -82,10 +82,15 @@ def cap_bucket(n: int, floor: int = MIN_CAP) -> int:
 
 
 def build_occ16(bwt_arr):
-    """Derived OCC16 tables from the bwa interleaved bwt array:
-    occ16 (n16*4,) int32 — cumulative count of base c before 16-base
-    sub-block s at index (s << 2) | c — and w16 (n16,) int32 — the packed
-    word. Counts equal bwt_occ4's (the sampling interval is invisible)."""
+    """Derived OCC16 table from the bwa interleaved bwt array: ONE fused
+    (n16, 8) int32 row per 16-base sub-block — [occ0, occ1, occ2, occ3,
+    packed_word, 0, 0, 0] — so a rank query is a single row gather.
+
+    TPU gather cost is per-INDEX, not per-element (measured 16.2 ns/query
+    for the split count+word tables vs 3.9 ns fused), and the occ gathers
+    dominate every backward round. The padding to 8 keeps rows on a 32-byte
+    boundary. Costs 2 bytes/base of HBM vs 1.25 for the split layout.
+    Counts equal bwt_occ4's (the sampling interval is invisible)."""
     n_blocks = len(bwt_arr) // 16
     blocks = np.ascontiguousarray(bwt_arr[: n_blocks * 16]).reshape(
         n_blocks, 16)
@@ -110,10 +115,11 @@ def build_occ16(bwt_arr):
     occ16 = occ[:, None, :] + wcum  # (nb, 8, 4)
     if occ16.max() > np.iinfo(np.int32).max:
         raise ValueError("occ counts exceed int32")
-    occ16_flat = occ16.reshape(n_blocks * 8 * 4).astype(np.int32)
-    w16 = words.reshape(n_blocks * 8).view(np.int32)
-    return (jax.device_put(occ16_flat),
-            jax.device_put(np.ascontiguousarray(w16)))
+    n16 = n_blocks * 8
+    fused = np.zeros((n16, 8), np.int32)
+    fused[:, :4] = occ16.reshape(n16, 4).astype(np.int32)
+    fused[:, 4] = words.reshape(n16).view(np.int32)
+    return jax.device_put(np.ascontiguousarray(fused))
 
 
 def _bytesum(x):
@@ -122,21 +128,26 @@ def _bytesum(x):
             & jnp.uint32(0x3F)).astype(jnp.int32)
 
 
-def _occ_c16(occ16, w16, primary, ks, c):
+def _occ_c16(f16, primary, ks, c):
     """Rank of base c (2-D int32 array, one per entry) at positions ks
-    (2-D int32, negative = sentinel): bwt_occ semantics via OCC16
-    (bwt.c:98-130 for one base, counting the first within+1 bases of the
-    MSB-first packed word)."""
+    (2-D int32, negative = sentinel): bwt_occ semantics via the fused
+    OCC16 rows (bwt.c:98-130 for one base, counting the first within+1
+    bases of the MSB-first packed word). ONE row gather per position; the
+    per-entry count column resolves as a 4-way select (fused, free)."""
     sent = ks < I0
     k = jnp.where(sent, I0, ks)
     k = k - (k >= primary).astype(jnp.int32)
     sb = k >> 4
     within = k & np.int32(15)
-    base = occ16[(sb << 2) | c]
+    row = f16[sb]  # (..., 8) int32
+    base = jnp.where(c == I0, row[..., 0],
+                     jnp.where(c == I1, row[..., 1],
+                               jnp.where(c == np.int32(2), row[..., 2],
+                                         row[..., 3])))
     # zero the low 30 - 2*within bits => keep bases 0..within
     sh = (np.int32(30) - np.int32(2) * within).astype(jnp.uint32)
     keepmask = ~((jnp.uint32(1) << sh) - jnp.uint32(1))
-    w = lax.bitcast_convert_type(w16[sb], jnp.uint32) & keepmask
+    w = lax.bitcast_convert_type(row[..., 4], jnp.uint32) & keepmask
     nw = ~w
     a = jnp.where((c & np.int32(2)) != I0, w, nw) >> 1
     b = jnp.where((c & np.int32(1)) != I0, w, nw)
