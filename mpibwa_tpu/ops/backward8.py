@@ -166,7 +166,7 @@ def _occ_c16(f16, primary, ks, c):
 # ---------------------------------------------------------------------------
 
 
-def _round8(occ16, w16, l2sel, primary, qflat, Ln, NL, st):
+def _round8(f16, l2sel, primary, qflat, Ln, NL, st):
     """One backward round — 5 latency-bound ops total (both occ positions
     ride ONE gather pair via a (8, 2W) index array; fp and last_start are
     interleaved in one (2NL,) array so their gather and their scatter-min
@@ -190,7 +190,7 @@ def _round8(occ16, w16, l2sel, primary, qflat, Ln, NL, st):
     kq = ik0 - I1
     ks2 = jnp.concatenate([kq, kq + ik2], axis=1)
     c2 = jnp.concatenate([c, c], axis=1)
-    t2 = _occ_c16(occ16, w16, primary, ks2, c2)
+    t2 = _occ_c16(f16, primary, ks2, c2)
     tk = t2[:, :W]
     tl = t2[:, W:]
     s2 = tl - tk
@@ -232,25 +232,23 @@ def _round8(occ16, w16, l2sel, primary, qflat, Ln, NL, st):
             info, lane2d, minv_e, new_fpls, new_emitted, new_em_start)
 
 
-def _mk_state_args(occ16, w16, l2sel, primary, qflat, Ln, NL):
-    return lambda st: _round8(occ16, w16, l2sel, primary, qflat, Ln, NL, st)
+def _mk_state_args(f16, l2sel, primary, qflat, Ln, NL):
+    return lambda st: _round8(f16, l2sel, primary, qflat, Ln, NL, st)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))
 def segment8(tables, l2p, qflat, st, L: int, NL: int, n_rounds: int):
     """n_rounds rounds at the current capacity (one dispatch, no syncs)."""
-    occ16, w16 = tables
     l2sel = l2p[:4]
-    rb = _mk_state_args(occ16, w16, l2sel, l2p[4], qflat, np.int32(L), NL)
+    rb = _mk_state_args(tables, l2sel, l2p[4], qflat, np.int32(L), NL)
     return lax.fori_loop(0, n_rounds, lambda i, s: rb(s), st)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def tail8(tables, l2p, qflat, st, L: int, NL: int):
     """Run rounds until no entry is live (single dispatch)."""
-    occ16, w16 = tables
     l2sel = l2p[:4]
-    rb = _mk_state_args(occ16, w16, l2sel, l2p[4], qflat, np.int32(L), NL)
+    rb = _mk_state_args(tables, l2sel, l2p[4], qflat, np.int32(L), NL)
 
     def cond(carry):
         r, st = carry
@@ -421,7 +419,10 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     import os as _os
 
     dbg = _os.environ.get("MPIBWA_BWD_DEBUG") == "1"
-    MAXM = max(65536, E // 8)
+    # The evac-time min_len filter drops ~99% of raw emissions on short-read
+    # data; with no filter (min_len == 0) every emission lands in the
+    # accumulator, so size it for the worst case to avoid overflow cliffs.
+    MAXM = max(65536, E) if min_len <= 0 else max(65536, E // 8)
     acc = jnp.zeros((MAXM, 6), jnp.int32)
     acc_off = jnp.int32(0)
     ov_flags = []

@@ -67,11 +67,10 @@ class DeviceFMIndex:
         if self.idt == jnp.int32:
             from mpibwa_tpu.ops.backward8 import build_occ16
 
-            o16, w16 = build_occ16(idx.bwt)
+            f16 = build_occ16(idx.bwt)
             if device:
-                o16 = jax.device_put(o16, device)
-                w16 = jax.device_put(w16, device)
-            self._occ16 = (o16, w16)
+                f16 = jax.device_put(f16, device)
+            self._occ16 = f16
         else:
             self._occ16 = None
         # int32 indexes: sa_lookup dispatches to the jitted OCC16 walk
@@ -82,9 +81,10 @@ class DeviceFMIndex:
             self.sa_lookup_jit = lambda ks: _sa_lookup_jit(self, ks)
 
     def occ16_tables(self):
-        """OCC16 split tables (v8 backward, occ4_16, SA walk): occ every 16
-        bases + one packed word, as two 1-D device tables. Built in
-        __init__ for int32 indexes (pytree leaves)."""
+        """Fused OCC16 table (v8 backward, occ4_16, SA walk): one (n16, 8)
+        int32 row per 16-base sub-block — [occ0..occ3, packed_word, pad×3]
+        — so a rank query is a single row gather. Built in __init__ for
+        int32 indexes (pytree leaf)."""
         if getattr(self, "_occ16", None) is None:
             from mpibwa_tpu.ops.backward8 import build_occ16
 
@@ -220,17 +220,17 @@ class DeviceFMIndex:
         ONE word gather + multiply-free SWAR — vs occ4's 8-word block scan
         with multiply popcounts (uint32 multiply chains are ~0.5 ms/round
         inside a device loop on this hardware). Bit-identical to occ4."""
-        occ16, w16 = self.occ16_tables()
+        f16 = self.occ16_tables()
         sent = ks < 0
         k = jnp.where(sent, 0, ks)
         k = k - (k >= self.primary)
         sb = (k >> 4).astype(jnp.int32)
         within = (k & 15).astype(jnp.int32)
-        base = occ16[(sb[..., None] << 2)
-                     + jnp.arange(4, dtype=jnp.int32)]  # (..., 4)
+        row = f16[sb]  # (..., 8) int32
+        base = row[..., :4]
         sh = (jnp.int32(30) - jnp.int32(2) * within).astype(jnp.uint32)
         keep = ~((jnp.uint32(1) << sh) - jnp.uint32(1))
-        w = jax.lax.bitcast_convert_type(w16[sb], jnp.uint32) & keep
+        w = jax.lax.bitcast_convert_type(row[..., 4], jnp.uint32) & keep
         nw = ~w
         cnts = []
         for c in range(4):
@@ -373,13 +373,13 @@ class DeviceFMIndex:
 # constants — otherwise every kernel compile embeds megabytes of index data
 # and the persistent compilation cache becomes index-specific.
 def _dfm_flatten(fm: DeviceFMIndex):
-    o16 = getattr(fm, "_occ16", None)
-    if o16 is None:
-        o16 = (jnp.zeros(0, jnp.int32), jnp.zeros(0, jnp.int32))
+    f16 = getattr(fm, "_occ16", None)
+    if f16 is None:
+        f16 = jnp.zeros((0, 8), jnp.int32)
         has16 = False
     else:
         has16 = True
-    leaves = (fm.occ, fm.data, fm.L2, fm.sa, fm.pac, o16[0], o16[1])
+    leaves = (fm.occ, fm.data, fm.L2, fm.sa, fm.pac, f16)
     aux = (fm.primary, fm.seq_len, fm.sa_intv, fm.l_pac,
            "i32" if fm.np_idt == np.int32 else "i64", has16)
     return leaves, aux
@@ -387,9 +387,9 @@ def _dfm_flatten(fm: DeviceFMIndex):
 
 def _dfm_unflatten(aux, leaves):
     obj = object.__new__(DeviceFMIndex)
-    (obj.occ, obj.data, obj.L2, obj.sa, obj.pac, o16a, o16b) = leaves
+    (obj.occ, obj.data, obj.L2, obj.sa, obj.pac, f16) = leaves
     obj.primary, obj.seq_len, obj.sa_intv, obj.l_pac, idt, has16 = aux
-    obj._occ16 = (o16a, o16b) if has16 else None
+    obj._occ16 = f16 if has16 else None
     if idt == "i32":
         obj.idt, obj.np_idt = jnp.int32, np.int32
     else:
@@ -404,22 +404,22 @@ jax.tree_util.register_pytree_node(DeviceFMIndex, _dfm_flatten, _dfm_unflatten)
 @jax.jit
 def _sa_lookup16(tables, l2, primary, seq_len, sa, sa_intv, ks2d):
     """bwt_sa walk (bwt.c:86-96) in (8, W) layout via OCC16: per step one
-    w16 gather for the BWT base + one single-base rank (_occ_c16)."""
+    fused-row gather for the BWT base + one single-base rank (_occ_c16)."""
     from mpibwa_tpu.ops.backward8 import _occ_c16
 
-    occ16, w16 = tables
+    f16 = tables
     mask = sa_intv - jnp.int32(1)  # sa_intv is a power of two
     I0 = np.int32(0)
 
     def bwt_b0_16(x):
-        word = jax.lax.bitcast_convert_type(w16[x >> 4], jnp.uint32)
+        word = jax.lax.bitcast_convert_type(f16[x >> 4, 4], jnp.uint32)
         sh = (((~x) & np.int32(15)) << 1).astype(jnp.uint32)
         return ((word >> sh) & jnp.uint32(3)).astype(jnp.int32)
 
     def inv_psi(k):
         x = k - (k > primary).astype(jnp.int32)
         c = bwt_b0_16(x)
-        occc = _occ_c16(occ16, w16, primary, k, c)
+        occc = _occ_c16(f16, primary, k, c)
         at_end = k == seq_len
         occc = jnp.where(at_end, l2[c + 1] - l2[c], occc)
         val = l2[c] + occc
