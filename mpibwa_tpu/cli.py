@@ -23,8 +23,11 @@ stages: the C library native/finalize.c vs the exact Python modules; all
 combinations are byte-identical and golden-tested).
 
 The mem options replicate mainParallel.c:291-396 (bwa-mem surface + the
-tool flags -o/-f/-b/-g/-K/-z); -z is accepted as a placement hint (index
-replication granularity) and currently informational on a single host.
+tool flags -o/-f/-b/-g/-K/-z); -z picks the index replication granularity:
+any shared domain (shared/socket/numa/l1/l2/l3, default) keeps ONE
+page-cache copy of the .tpumap image across co-located shard processes via
+read-only mmap, while -z core replicates privately per process
+(map_indexes' domain split, parallel_aux.c:1779-1807).
 """
 
 from __future__ import annotations
@@ -264,7 +267,15 @@ def main_mem(argv, by_chr: bool = False):
         return 2
 
     if os.path.exists(ref + ".tpumap"):
-        idx = load_image(ref + ".tpumap")
+        # -z picks the host-side index replication granularity, the analog
+        # of map_indexes' placement domains (parallel_aux.c:1779-1807):
+        # every domain except "core" means ONE physical copy shared by the
+        # co-located shard processes — here a read-only mmap of the flat
+        # image, deduplicated by the page cache (the np.memmap equivalent
+        # of the reference's MPI_Win_allocate_shared window). "core" =
+        # replicate per process (a private read, the reference's most
+        # granular domain).
+        idx = load_image(ref + ".tpumap", mmap=shared_mem != "core")
     else:
         idx = load_index(ref)
     if ignore_alt:
@@ -533,12 +544,18 @@ def main_launch(argv):
         if host in ("localhost", "127.0.0.1"):
             procs.append(subprocess.Popen(cmd, env=env))
         else:
-            # remote shard: env rides the command line; MPIBWA_* knobs of
-            # this process propagate (python resolves to the remote PATH)
+            # remote shard: env rides the command line; MPIBWA_* knobs plus
+            # the backend-selection variables of this process propagate
+            # (mpirun forwards the launcher environment to every rank; a
+            # remote shard that silently picked a different jax backend
+            # would be a correctness hazard, not just slow). python
+            # resolves to the remote PATH.
             envs = [f"MPIBWA_SHARD={k}", f"MPIBWA_NSHARDS={n}"]
             envs += [f"{key}={shlex.quote(v)}"
                      for key, v in os.environ.items()
-                     if key.startswith("MPIBWA_")
+                     if (key.startswith("MPIBWA_")
+                         or key in ("JAX_PLATFORMS", "XLA_FLAGS",
+                                    "PYTHONPATH", "JAX_CACHE_DIR"))
                      and key not in ("MPIBWA_SHARD", "MPIBWA_NSHARDS")]
             rcmd = (f"cd {shlex.quote(os.getcwd())} && env " + " ".join(envs)
                     + " python3 -m mpibwa_tpu.cli " + sub + " "

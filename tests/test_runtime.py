@@ -563,3 +563,119 @@ def test_bgzf_line_boundary_packing():
                     break
             assert len(p) + first_next > MAX_BLOCK_SIZE
             del nxt
+
+
+def test_cli_launch_remote_rsh_branch(idx_prefix, tmp_path, monkeypatch):
+    """The remote (rsh) branch of `launch --hosts`: a non-local hostname
+    routes each shard through the remote shell with the environment ON THE
+    COMMAND LINE (cd-to-cwd pinning, shlex quoting, MPIBWA_* +
+    JAX_PLATFORMS/XLA_FLAGS propagation). No sshd exists in this image, so
+    the remote shell is a shim with the `ssh host cmd` calling convention
+    that drops the hostname and runs the command under a CLEAN environment
+    (env -i: fresh $HOME, no inherited variables — only PATH survives,
+    which a real remote login shell would provide). The shard therefore
+    sees ONLY what the quoted command line carried; the merged output must
+    equal the single-process run (mpirun -hostfile parity,
+    /root/reference/docs/README.md:300+)."""
+    import pathlib
+    import stat
+
+    from mpibwa_tpu.cli import main
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    monkeypatch.chdir(repo)
+    home = tmp_path / "remote_home"
+    home.mkdir()
+    shim = tmp_path / "fake_rsh.sh"
+    shim.write_text(
+        "#!/bin/sh\n"
+        "# ssh calling convention: $1 = host, $2 = command string\n"
+        "shift\n"
+        f'exec /usr/bin/env -i HOME={home} '
+        'PATH=/opt/venv/bin:/usr/local/bin:/usr/bin:/bin sh -c "$1"\n')
+    shim.chmod(shim.stat().st_mode | stat.S_IXUSR)
+
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        sub.write_text("".join(next(f) for _ in range(120 * 4)))
+    out1 = tmp_path / "one"
+    assert main(["mem", "-K", "2000", "-o", str(out1), idx_prefix,
+                 str(sub)]) == 0
+    out2 = tmp_path / "rsh"
+    assert main(["launch", "-n", "2", "--hosts", "remotehost",
+                 "--rsh", str(shim), "mem", "-K", "2000", "-o", str(out2),
+                 idx_prefix, str(sub)]) == 0
+    strip = lambda p: [l for l in open(p) if not l.startswith("@PG")]
+    assert strip(str(out2) + ".sam") == strip(str(out1) + ".sam")
+
+
+def test_tpumap_page_sharing(idx_prefix, tmp_path):
+    """N co-located processes loading the same .tpumap share ONE physical
+    copy: load_image mmaps the flat image read-only, so the page cache
+    deduplicates it exactly like map_indexes' per-domain shared window
+    (MPI_Win_allocate_shared, parallel_aux.c:1745-1838; zero-copy fixup
+    bwa_mem2idx, bwa.c:310-345). Four concurrent processes each touch
+    every index array, then report /proc/self/smaps for the mapping:
+    pages must be resident AND overwhelmingly Shared_, not Private_."""
+    import json
+    import subprocess
+    import sys
+    import time
+
+    from mpibwa_tpu.index.format import load_index, save_image
+
+    img = tmp_path / "idx.tpumap"
+    save_image(load_index(idx_prefix), str(img))
+    size = img.stat().st_size
+
+    child = tmp_path / "child.py"
+    child.write_text(f"""
+import json, os, sys, time
+sys.path.insert(0, {str(os.getcwd())!r})
+from mpibwa_tpu.index.format import load_image
+idx = load_image({str(img)!r})
+# touch every array so its pages are resident
+tot = int(idx.bwt.sum()) + int(idx.sa.sum()) + int(idx.pac.sum())
+tot += int(idx.ref_fwd.sum())
+me = sys.argv[1]
+open(me + '.ready', 'w').write('1')
+while not os.path.exists({str(tmp_path / 'go')!r}):
+    time.sleep(0.05)
+rss = shared = private = 0
+take = False
+for line in open('/proc/self/smaps'):
+    if '-' in line.split(' ')[0] and '/' in line:
+        take = line.rstrip().endswith('idx.tpumap')
+    elif take:
+        f = line.split()
+        if f[0] == 'Rss:':
+            rss += int(f[1])
+        elif f[0] in ('Shared_Clean:', 'Shared_Dirty:'):
+            shared += int(f[1])
+        elif f[0] in ('Private_Clean:', 'Private_Dirty:'):
+            private += int(f[1])
+print(json.dumps({{'rss_kb': rss, 'shared_kb': shared,
+                   'private_kb': private, 'touched': tot}}))
+""")
+    procs = []
+    for k in range(4):
+        tag = str(tmp_path / f"c{k}")
+        procs.append((tag, subprocess.Popen(
+            [sys.executable, str(child), tag], stdout=subprocess.PIPE)))
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if all(os.path.exists(t + ".ready") for t, _ in procs):
+            break
+        time.sleep(0.05)
+    (tmp_path / "go").write_text("1")
+    stats = []
+    for _, p in procs:
+        out, _ = p.communicate(timeout=120)
+        assert p.returncode == 0
+        stats.append(json.loads(out))
+    for st in stats:
+        # the arrays (not the json meta tail) must be resident...
+        assert st["rss_kb"] * 1024 > 0.5 * size, st
+        # ...and deduplicated across the 4 processes: private pages are a
+        # sliver (copy-per-process would make ALL of them private)
+        assert st["private_kb"] <= 0.1 * st["rss_kb"] + 64, st
