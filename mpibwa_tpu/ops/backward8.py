@@ -130,15 +130,19 @@ def _bytesum(x):
 
 def _occ_c16(f16, primary, ks, c):
     """Rank of base c (2-D int32 array, one per entry) at positions ks
-    (2-D int32, negative = sentinel): bwt_occ semantics via the fused
-    OCC16 rows (bwt.c:98-130 for one base, counting the first within+1
-    bases of the MSB-first packed word). ONE row gather per position; the
-    per-entry count column resolves as a 4-way select (fused, free)."""
+    (2-D int32 OR int64, negative = sentinel): bwt_occ semantics via the
+    fused OCC16 rows (bwt.c:98-130 for one base, counting the first
+    within+1 bases of the MSB-first packed word). ONE row gather per
+    position; the per-entry count column resolves as a 4-way select
+    (fused, free). Positions may exceed int32 (doubled human genome); the
+    gather index (k>>4) and the counts always fit int32 — per-base occ is
+    bounded by the base's total count, int32 up to ~8.6 Gbp genomes — so
+    only the position arithmetic widens and the output stays int32."""
     sent = ks < I0
-    k = jnp.where(sent, I0, ks)
-    k = k - (k >= primary).astype(jnp.int32)
-    sb = k >> 4
-    within = k & np.int32(15)
+    k = jnp.where(sent, jnp.zeros_like(ks), ks)
+    k = k - (k >= primary).astype(k.dtype)
+    sb = (k >> 4).astype(jnp.int32)
+    within = (k & np.int32(15)).astype(jnp.int32)
     row = f16[sb]  # (..., 8) int32
     base = jnp.where(c == I0, row[..., 0],
                      jnp.where(c == I1, row[..., 1],
@@ -293,7 +297,7 @@ def shrink8(st, acc, acc_off, newE: int, NL: int, min_len=I0):
     n_em = jnp.sum(em, dtype=jnp.int32)
     rows = jnp.stack([ik0.reshape(E), ik1.reshape(E), ik2.reshape(E),
                       em_start.reshape(E), info.reshape(E),
-                      lane2d.reshape(E)], axis=1)
+                      lane2d.reshape(E)], axis=1).astype(acc.dtype)
     MAXM = acc.shape[0]
     dest_em = jnp.where(em, pos_em + acc_off, np.int32(MAXM))
     acc = acc.at[dest_em].set(rows, mode="drop")
@@ -335,7 +339,7 @@ def pack_emitted8(st, E: int):
     cols = jnp.stack([ik0.reshape(E), ik1.reshape(E), ik2.reshape(E),
                       em_start.reshape(E), info.reshape(E),
                       lane2d.reshape(E)], axis=1)
-    out = jnp.zeros((E, 6), jnp.int32).at[
+    out = jnp.zeros((E, 6), cols.dtype).at[
         jnp.where(em, pos, np.int32(E))].set(cols, mode="drop")
     return out, n
 
@@ -384,9 +388,12 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     assert E % S == 0
     W = E // S
 
+    # positions (ik0/ik1, L2, primary) ride the index dtype — int64 for
+    # doubled genomes >= 2^31 (GRCh38 scale); sizes/counts stay int32
+    idt, np_idt = fm.idt, fm.np_idt
     l2p = jnp.asarray(np.concatenate(
         [np.asarray(fm.L2)[:4].astype(np.int64),
-         [fm.primary, 0, 0, 0]]).astype(np.int32))
+         [fm.primary, 0, 0, 0]]).astype(np_idt))
     qflat = qrows_dev.reshape(-1).astype(jnp.int32)
     lane_flat = lane_d.astype(jnp.int32)
     live_flat = live_d.astype(jnp.int32)
@@ -403,8 +410,8 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
         jnp.where(live_flat.reshape(S, W) != I0, lane2d << 1,
                   np.int32(2 * NL))].min(slot, mode="drop")
     st = (
-        ik_d[:, 0].astype(jnp.int32).reshape(S, W),
-        ik_d[:, 1].astype(jnp.int32).reshape(S, W),
+        ik_d[:, 0].astype(idt).reshape(S, W),
+        ik_d[:, 1].astype(idt).reshape(S, W),
         ik_d[:, 2].astype(jnp.int32).reshape(S, W),
         live_flat.reshape(S, W),
         (x0_d[lane_c2d.reshape(E)].reshape(S, W) - 1),
@@ -423,7 +430,7 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     # data; with no filter (min_len == 0) every emission lands in the
     # accumulator, so size it for the worst case to avoid overflow cliffs.
     MAXM = max(65536, E) if min_len <= 0 else max(65536, E // 8)
-    acc = jnp.zeros((MAXM, 6), jnp.int32)
+    acc = jnp.zeros((MAXM, 6), idt)
     acc_off = jnp.int32(0)
     ov_flags = []
     ml = jnp.int32(min_len)
@@ -465,25 +472,25 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
         if est_rows > 0:
             hdr = jnp.concatenate(
                 [n_keep[None], ov_d.astype(jnp.int32)[None],
-                 jnp.zeros(4, jnp.int32)])[None, :]
+                 jnp.zeros(4, jnp.int32)]).astype(rows_d.dtype)[None, :]
             comb = jnp.concatenate([hdr, rows_d], axis=0)
             est = min(int(rows_d.shape[0]), int(est_rows))
             first = pull_prefix(comb, 1 + est)
             n, ov = int(first[0, 0]), bool(first[0, 1])
             if ov:
-                return np.zeros((0, 6), np.int32), True
+                return np.zeros((0, 6), np_idt), True
             if n == 0:
-                return np.zeros((0, 6), np.int32), False
+                return np.zeros((0, 6), np_idt), False
             if n <= est:
                 return first[1 : 1 + n], False
             return pull_prefix(rows_d, n), False
         # one tiny control pull: [n_keep, any-overflow]
         ctrl = np.asarray(jnp.stack([n_keep, ov_d.astype(jnp.int32)]))
         if bool(ctrl[1]):
-            return np.zeros((0, 6), np.int32), True
+            return np.zeros((0, 6), np_idt), True
         n = int(ctrl[0])
         if n == 0:
-            return np.zeros((0, 6), np.int32), False
+            return np.zeros((0, 6), np_idt), False
         return pull_prefix(rows_d, n), False
 
     overflow = np.zeros(n_lanes, bool)

@@ -35,11 +35,16 @@ def _popcount_pairs(m: jnp.ndarray) -> jnp.ndarray:
 class DeviceFMIndex:
     """HBM-resident index arrays + batched primitives."""
 
-    def __init__(self, idx, device=None):
+    def __init__(self, idx, device=None, force_wide: bool = False):
+        """force_wide runs a small index through the int64 (GRCh38-scale)
+        position path — the differential-test hook for the wide engines."""
         n_blocks = len(idx.bwt) // 16
         blocks = np.ascontiguousarray(idx.bwt[: n_blocks * 16]).reshape(n_blocks, 16)
         occ = blocks[:, :8].copy().view(np.uint64)
         if occ.max() > np.iinfo(np.int32).max:
+            # per-base occ counts exceed int32 only past ~8.6 Gbp of one
+            # base — beyond any vertebrate genome and beyond the fast
+            # OCC16 layout; no supported index reaches this
             raise ValueError("occ counts exceed int32; unsupported genome size")
         put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
         self.occ = put(occ.astype(np.int32))  # (n_blocks, 4)
@@ -47,8 +52,12 @@ class DeviceFMIndex:
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.sa_intv = int(idx.sa_intv)
-        # interval dtype: int32 when every value (<= seq_len + 1) fits
-        if self.seq_len + 2 < 2**31:
+        # position dtype: int32 when every value (<= seq_len + 1) fits,
+        # int64 for doubled genomes >= 2^31 (full human = 6.2e9). Counts
+        # and interval sizes fit int32 either way (bounded by the per-base
+        # totals, guarded above), so the OCC16 tables and the rank outputs
+        # stay int32 — only position arithmetic widens.
+        if self.seq_len + 2 < 2**31 and not force_wide:
             self.idt, self.np_idt = jnp.int32, np.int32
         else:
             self.idt, self.np_idt = jnp.int64, np.int64
@@ -62,23 +71,18 @@ class DeviceFMIndex:
         self.l_pac = int(idx.l_pac)
         self._host_bwt = idx.bwt  # for derived device layouts (OCC16)
         # OCC16 derived tables (v8 backward, OCC16 rank, SA walk): built
-        # eagerly for int32 indexes so they survive pytree flattening into
-        # jitted callees (extend/forward_pass take fm as an argument)
-        if self.idt == jnp.int32:
-            from mpibwa_tpu.ops.backward8 import build_occ16
+        # eagerly so they survive pytree flattening into jitted callees
+        # (extend/forward_pass take fm as an argument); valid for BOTH
+        # position dtypes (counts are int32 regardless)
+        from mpibwa_tpu.ops.backward8 import build_occ16
 
-            f16 = build_occ16(idx.bwt)
-            if device:
-                f16 = jax.device_put(f16, device)
-            self._occ16 = f16
-        else:
-            self._occ16 = None
-        # int32 indexes: sa_lookup dispatches to the jitted OCC16 walk
-        # itself (the pytree-jitted wrapper would lose the derived tables)
-        if self.idt == jnp.int32:
-            self.sa_lookup_jit = lambda ks: self.sa_lookup(ks)
-        else:
-            self.sa_lookup_jit = lambda ks: _sa_lookup_jit(self, ks)
+        f16 = build_occ16(idx.bwt)
+        if device:
+            f16 = jax.device_put(f16, device)
+        self._occ16 = f16
+        # sa_lookup dispatches to the jitted OCC16 walk itself (the
+        # pytree-jitted wrapper would lose the derived tables)
+        self.sa_lookup_jit = lambda ks: self.sa_lookup(ks)
 
     def occ16_tables(self):
         """Fused OCC16 table (v8 backward, occ4_16, SA walk): one (n16, 8)
@@ -250,8 +254,9 @@ class DeviceFMIndex:
     def _occ4_dispatch(self, ks: jnp.ndarray) -> jnp.ndarray:
         import os
 
-        if (self.idt == jnp.int32
-                and os.environ.get("MPIBWA_OCC", "occ16") == "occ16"):
+        # occ4_16 is dtype-generic (gather index k>>4 and the counts fit
+        # int32 for every supported genome; only k itself may be int64)
+        if os.environ.get("MPIBWA_OCC", "occ16") == "occ16":
             return self.occ4_16(ks)
         return self.occ4(ks)
 
@@ -322,19 +327,20 @@ class DeviceFMIndex:
     def sa_lookup(self, ks: jnp.ndarray) -> jnp.ndarray:
         """(N,) idt SA indices -> (N,) idt positions.
 
-        int32 indexes route through the OCC16 tables in (8, W) layout —
-        one single-base rank per inv_psi step instead of a full occ4, and
-        2-D-shaped ops throughout (1-D elementwise is ~100x slower on this
-        hardware)."""
-        if self.idt == jnp.int32 and getattr(self, "_host_bwt", None) \
-                is not None:
+        Routes through the OCC16 tables in (8, W) layout — one single-base
+        rank per inv_psi step instead of a full occ4, and 2-D-shaped ops
+        throughout (1-D elementwise is ~100x slower on this hardware).
+        Position arithmetic runs in the index dtype (int64 for GRCh38-
+        scale); gathers and counts stay int32 either way."""
+        if getattr(self, "_occ16", None) is not None:
             N = int(ks.shape[0])
             Np = ((N + 7) // 8) * 8
-            ks_p = jnp.zeros(Np, jnp.int32).at[:N].set(ks.astype(jnp.int32))
+            ks_p = jnp.zeros(Np, self.idt).at[:N].set(ks.astype(self.idt))
             out = _sa_lookup16(
-                self.occ16_tables(), self.L2.astype(jnp.int32),
-                np.int32(self.primary), np.int32(self.seq_len), self.sa,
-                np.int32(self.sa_intv), ks_p.reshape(8, Np // 8))
+                self.occ16_tables(), self.L2.astype(self.idt),
+                self.np_idt(self.primary), self.np_idt(self.seq_len),
+                self.sa, self.np_idt(self.sa_intv),
+                ks_p.reshape(8, Np // 8))
             return out.reshape(Np)[:N]
         mask = self.sa_intv - 1
         ks = ks.astype(self.idt)
@@ -404,26 +410,32 @@ jax.tree_util.register_pytree_node(DeviceFMIndex, _dfm_flatten, _dfm_unflatten)
 @jax.jit
 def _sa_lookup16(tables, l2, primary, seq_len, sa, sa_intv, ks2d):
     """bwt_sa walk (bwt.c:86-96) in (8, W) layout via OCC16: per step one
-    fused-row gather for the BWT base + one single-base rank (_occ_c16)."""
+    fused-row gather for the BWT base + one single-base rank (_occ_c16).
+    Dtype-generic: positions (ks2d/l2/primary/seq_len/sa) in int32 or
+    int64; gathers and rank counts stay int32 either way."""
     from mpibwa_tpu.ops.backward8 import _occ_c16
 
     f16 = tables
-    mask = sa_intv - jnp.int32(1)  # sa_intv is a power of two
+    idt = ks2d.dtype
+    mask = sa_intv - 1  # sa_intv is a power of two; np scalar of idt
     I0 = np.int32(0)
 
     def bwt_b0_16(x):
-        word = jax.lax.bitcast_convert_type(f16[x >> 4, 4], jnp.uint32)
-        sh = (((~x) & np.int32(15)) << 1).astype(jnp.uint32)
-        return ((word >> sh) & jnp.uint32(3)).astype(jnp.int32)
+        word = jax.lax.bitcast_convert_type(
+            f16[(x >> 4).astype(jnp.int32), 4], jnp.uint32)
+        sh = ((~x).astype(jnp.int32) & np.int32(15)) << 1
+        return ((word >> sh.astype(jnp.uint32))
+                & jnp.uint32(3)).astype(jnp.int32)
 
     def inv_psi(k):
-        x = k - (k > primary).astype(jnp.int32)
+        x = k - (k > primary).astype(idt)
         c = bwt_b0_16(x)
         occc = _occ_c16(f16, primary, k, c)
         at_end = k == seq_len
-        occc = jnp.where(at_end, l2[c + 1] - l2[c], occc)
-        val = l2[c] + occc
-        return jnp.where(k == primary, I0, val)
+        occc = jnp.where(at_end, (l2[c + 1] - l2[c]).astype(jnp.int32),
+                         occc)
+        val = l2[c] + occc.astype(idt)
+        return jnp.where(k == primary, jnp.zeros_like(val), val)
 
     def cond(state):
         return jnp.any(state[2])
@@ -432,7 +444,7 @@ def _sa_lookup16(tables, l2, primary, seq_len, sa, sa_intv, ks2d):
         k, steps, act = state
         k2 = inv_psi(k)
         k = jnp.where(act, k2, k)
-        steps = steps + act.astype(jnp.int32)
+        steps = steps + act.astype(idt)
         act = (k & mask) != I0
         return k, steps, act
 
@@ -440,7 +452,7 @@ def _sa_lookup16(tables, l2, primary, seq_len, sa, sa_intv, ks2d):
     steps0 = jnp.zeros_like(ks)
     act0 = (ks & mask) != I0
     k, steps, _ = jax.lax.while_loop(cond, body, (ks, steps0, act0))
-    base = sa[jax.lax.div(k, jnp.int32(sa_intv))]
+    base = sa[(k // sa_intv).astype(jnp.int32)].astype(idt)
     return steps + base  # sa[0] == -1 wraps exactly like the C uint64
 
 

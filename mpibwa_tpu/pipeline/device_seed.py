@@ -199,13 +199,11 @@ class DeviceSeeder:
 
         mode = os.environ.get("MPIBWA_BWD", "auto")
         if mode == "auto":
-            # v8 (ops/backward8.py) is the fast path for int32 indexes;
-            # larger genomes keep the exact flat engine
+            # v8 (ops/backward8.py) is the fast path for both position
+            # dtypes (int64 widens only the k arithmetic)
             import jax as _jax
-            import jax.numpy as _jnp
 
-            mode = "v8" if (self.dfm.idt == _jnp.int32
-                            and _jax.default_backend() != "cpu") else "flat"
+            mode = "v8" if _jax.default_backend() != "cpu" else "flat"
 
         def build_tables(sub, NLp, pad2):
             # one-shot numpy conversion (the per-lane loop was ~0.3s/batch)
@@ -505,8 +503,7 @@ class DeviceSeeder:
             return np.zeros((0, 6), np.int32), False
         mode = os.environ.get("MPIBWA_BWD", "auto")
         if mode == "auto":
-            mode = "v8" if (self.dfm.idt == jnp.int32
-                            and _jax.default_backend() != "cpu") else "flat"
+            mode = "v8" if _jax.default_backend() != "cpu" else "flat"
         if mode == "v8":
             from mpibwa_tpu.ops import backward8 as B8
             from mpibwa_tpu.ops import seeding_flat as SF
@@ -553,7 +550,7 @@ class DeviceSeeder:
                 st, en = iv[3] >> 32, iv[3] & 0xFFFFFFFF
                 if en - st >= msl:
                     rows.append((iv[0], iv[1], iv[2], st, en, ln))
-        return (np.array(rows, np.int32).reshape(-1, 6)
+        return (np.array(rows, self.dfm.np_idt).reshape(-1, 6)
                 if rows else np.zeros((0, 6), np.int32)), False
 
     @staticmethod

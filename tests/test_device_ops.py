@@ -191,3 +191,70 @@ def test_pallas_extend_matches_xla(dfm, index):
         want = np.asarray(dfm.extend(ik_d, is_back))
         got = np.asarray(extend_pallas(dfm, ik_d, is_back, True))
         np.testing.assert_array_equal(got, want)
+
+
+# -- int64 (GRCh38-scale) position path, forced on the small index ----------
+
+
+@pytest.fixture(scope="module")
+def dfm_wide(index):
+    """The same index through the int64 position path (force_wide): the
+    engines a doubled genome >= 2^31 takes (full human = 6.2e9 positions,
+    /root/reference/CHANGELOG:228-233). Counts/gathers stay int32; only
+    position arithmetic widens, so every result must be bit-identical to
+    the int32 path / scalar engine."""
+    from mpibwa_tpu.ops.fmd import DeviceFMIndex
+
+    return DeviceFMIndex(index, force_wide=True)
+
+
+def test_wide_occ4_and_sa(dfm_wide, fm):
+    import jax.numpy as jnp
+
+    assert dfm_wide.idt == jnp.int64
+    ks = np.arange(-1, 1342501, 311, dtype=np.int64)
+    got = np.asarray(dfm_wide.occ4_16(jnp.asarray(ks)))
+    np.testing.assert_array_equal(got, fm.occ4_batch(ks))
+    ks = np.arange(0, 1342501, 307, dtype=np.int64)
+    got = np.asarray(dfm_wide.sa_lookup(jnp.asarray(ks))).astype(np.uint64)
+    want = np.array([np.uint64(fm.sa_lookup(int(k))) for k in ks],
+                    dtype=np.uint64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_wide_v8_backward_matches_scalar(dfm_wide, fm, monkeypatch):
+    """v8 with int64 positions (the GRCh38-scale engine) reproduces scalar
+    bwt_smem1a emission on (x0, x2, info) exactly (bwt.c:289-351)."""
+    from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
+
+    monkeypatch.setenv("MPIBWA_BWD", "v8")
+    opt = mem_opt_init()
+    seeder = DeviceSeeder(dfm_wide, opt)
+    reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=32)
+    got, fallback = seeder.collect_batch([s.seq for s in reads])
+    n_checked = 0
+    for i, s in enumerate(reads):
+        if got[i] is None:
+            continue
+        want = collect_intv(opt, fm, s.seq)
+        assert [(iv[0], iv[2], iv[3]) for iv in got[i]] == \
+            [(iv[0], iv[2], iv[3]) for iv in want], s.name
+        n_checked += 1
+    assert n_checked >= 28
+
+
+def test_wide_collect_flat_rows(dfm_wide, dfm, monkeypatch):
+    """The arrays-end-to-end seeder through the wide engines returns the
+    same flat interval rows as the int32 path (row-for-row)."""
+    from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
+
+    monkeypatch.setenv("MPIBWA_BWD", "v8")
+    opt = mem_opt_init()
+    reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=48)
+    qs = [s.seq for s in reads]
+    out32 = DeviceSeeder(dfm, opt).collect_flat(qs)
+    out64 = DeviceSeeder(dfm_wide, opt).collect_flat(qs)
+    assert out32 is not None and out64 is not None
+    np.testing.assert_array_equal(out32[0], out64[0])
+    np.testing.assert_array_equal(out32[1], out64[1])
+    np.testing.assert_array_equal(out32[2], out64[2])
