@@ -20,6 +20,8 @@ import subprocess
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_READS_PER_SEC = 40224 / 25.84  # mpiBWA -n 1 -t 1
@@ -89,17 +91,16 @@ def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden):
     if os.path.exists(golden):
         got = "".join(s.sam for s in seqs)
         ok = got == open(golden).read()
-    if os.environ.get("BENCH_STATS"):
-        agg = {}
-        for al in als:
-            for k, v in al.stats.get("t", {}).items():
-                agg[k] = agg.get(k, 0.0) + v
-            for k, v in getattr(al.seeder, "times", {}).items():
-                agg["seed." + k] = agg.get("seed." + k, 0.0) + v
-        print(f"[bench] stage seconds (sum over workers, warm+timed): "
-              f"{ {k: round(v, 2) for k, v in sorted(agg.items())} }",
-              file=sys.stderr)
-    return rates, ok
+    agg = {}
+    for al in als:
+        for k, v in al.stats.get("t", {}).items():
+            agg[k] = agg.get(k, 0.0) + v
+        for k, v in getattr(al.seeder, "times", {}).items():
+            agg["seed." + k] = agg.get("seed." + k, 0.0) + v
+    agg = {k: round(v, 2) for k, v in sorted(agg.items())}
+    print(f"[bench] stage seconds (sum over workers, warm+timed): {agg}",
+          file=sys.stderr)
+    return rates, ok, agg
 
 
 def _median(xs):
@@ -108,6 +109,183 @@ def _median(xs):
     xs = sorted(xs)
     m = len(xs) >> 1
     return xs[m] if len(xs) & 1 else 0.5 * (xs[m - 1] + xs[m])
+
+
+def roofline(idx, dfm):
+    """Hardware-denominator microbenches: rank queries/s for the OCC16
+    backward primitive, banded-DP cells/s for the extension kernel on the
+    device AND in the native C runtime (same problems, same cell
+    accounting: cells = sum(qlen * min(tlen, 2w+1))), plus the compiled
+    (non-interpret) Pallas identity checks when a real TPU backend is
+    present — so the device-vs-native default is a measured decision per
+    host and the Mosaic kernels are exercised on hardware every bench
+    run, not opt-in. Reference methodology: the reads/s tables in
+    /root/reference/docs/README.md:178-280; kernels measured: bwt_occ
+    (bwt.c:98-130) and ksw_extend2 (ksw.c:380-479)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mpibwa_tpu.ops import backward8 as B8
+
+    out = {}
+    f16 = dfm.occ16_tables()
+    seq_len = dfm.np_idt(dfm.seq_len)
+    primary = dfm.np_idt(dfm.primary)
+
+    # -- rank queries/s: chained rounds, each round's positions derived
+    # from the previous counts (the dependency chain matches the backward
+    # engine's latency-bound structure and prevents elision)
+    W = 2048
+    R = 64
+
+    @jax.jit
+    def rank_rounds(f16, ks):
+        def body(i, ks):
+            c = (ks & 3).astype(jnp.int32)
+            t = B8._occ_c16(f16, primary, ks, c)
+            return (ks * 5 + t.astype(ks.dtype) + 1) % seq_len
+
+        return jax.lax.fori_loop(0, R, body, ks)
+
+    rng = np.random.default_rng(3)
+    ks0 = jnp.asarray(
+        rng.integers(0, int(seq_len), (8, W)).astype(dfm.np_idt))
+    rank_rounds(f16, ks0).block_until_ready()  # compile
+    t0 = time.time()
+    reps = 3
+    for _ in range(reps):
+        rank_rounds(f16, ks0).block_until_ready()
+    dt = (time.time() - t0) / reps
+    out["rank_queries_per_sec"] = round(8 * W * R / dt, 0)
+    out["rank_round_us"] = round(dt / R * 1e6, 1)
+
+    # -- extension DP problems (realistic: 100bp reads, ~150bp windows)
+    from mpibwa_tpu.core.opts import mem_opt_init
+    from mpibwa_tpu.ops.extend_batch import extend_batch
+
+    opt = mem_opt_init()
+    B, Q, T = 2048, 101, 152
+    qs = rng.integers(0, 4, (B, Q)).astype(np.uint8)
+    ts = np.empty((B, T), np.uint8)
+    ts[:, :Q] = qs
+    ts[:, Q:] = rng.integers(0, 4, (B, T - Q)).astype(np.uint8)
+    mut = rng.random((B, T)) < 0.02
+    ts[mut] = (ts[mut] + rng.integers(1, 4, int(mut.sum()))) % 4
+    qlens = np.full(B, Q, np.int32)
+    tlens = np.full(B, T, np.int32)
+    params = np.tile(
+        np.asarray([opt.w, opt.pen_clip5, opt.zdrop, 30], np.int32), (B, 1))
+    mat = np.asarray(opt.mat, np.int8).reshape(5, 5)
+    band = min(T, 2 * opt.w + 1)
+    cells = B * Q * band
+
+    # device path (Pallas whole-DP kernel on TPU, XLA while-loop on CPU)
+    dev = {}
+    try:
+        on_tpu = jax.default_backend() != "cpu"
+        if on_tpu:
+            from mpibwa_tpu.ops.pallas_extend import (
+                extend_batch_via_pallas_ab, standard_mat_ab)
+
+            ab = standard_mat_ab(opt.mat)
+            run = lambda: extend_batch_via_pallas_ab(
+                jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens),
+                jnp.asarray(tlens), jnp.asarray(params),
+                ab, opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+            kind = "pallas"
+        else:
+            run = lambda: extend_batch(
+                jnp.asarray(qs), jnp.asarray(ts), jnp.asarray(qlens),
+                jnp.asarray(tlens), jnp.asarray(params),
+                jnp.asarray(opt.mat.reshape(5, 5).astype(np.int32)),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins)
+            kind = "xla"
+        r0 = run()
+        jax.block_until_ready(r0)
+        t0 = time.time()
+        r1 = run()
+        jax.block_until_ready(r1)
+        dt = time.time() - t0
+        out["ext_dp_cells_per_sec_device"] = round(cells / dt, 0)
+        out["ext_dp_device_kind"] = kind
+        dev = {"r": np.asarray(jax.tree_util.tree_leaves(r1)[0]), "raw": r1}
+    except Exception as e:  # record, don't kill the bench
+        out["ext_dp_device_error"] = repr(e)[:200]
+
+    # native C path (same problems, one GIL-released call)
+    try:
+        import ctypes
+
+        from mpibwa_tpu.native import get_lib
+
+        lib = get_lib()
+        outs = np.zeros((B, 6), np.int32)
+        args = (qs.ctypes.data_as(ctypes.c_void_p),
+                ts.ctypes.data_as(ctypes.c_void_p),
+                qlens.ctypes.data_as(ctypes.c_void_p),
+                tlens.ctypes.data_as(ctypes.c_void_p),
+                B, Q, T, mat.ctypes.data_as(ctypes.c_void_p),
+                opt.o_del, opt.e_del, opt.o_ins, opt.e_ins,
+                params.ctypes.data_as(ctypes.c_void_p),
+                outs.ctypes.data_as(ctypes.c_void_p))
+        lib.fin_test_extend_batch(*args)  # warm
+        t0 = time.time()
+        rc = lib.fin_test_extend_batch(*args)
+        dt = time.time() - t0
+        if rc == 0:
+            out["ext_dp_cells_per_sec_native"] = round(cells / dt, 0)
+        # identity: device scores vs native scores on the SAME problems —
+        # this is the compiled-Pallas extension check on TPU
+        if dev:
+            raw = dev["raw"]
+            if hasattr(raw, "score"):  # ExtendOut
+                got = np.stack([np.asarray(raw.score), np.asarray(raw.qle),
+                                np.asarray(raw.tle), np.asarray(raw.gtle),
+                                np.asarray(raw.gscore),
+                                np.asarray(raw.max_off)], axis=1)
+            else:  # packed (8, B) int32
+                g = np.asarray(raw)
+                got = g[:6].T
+            out["ext_device_native_identical"] = bool(
+                np.array_equal(got.astype(np.int64),
+                               outs.astype(np.int64)))
+    except Exception as e:
+        out["ext_dp_native_error"] = repr(e)[:200]
+
+    # -- compiled Mosaic backward identity (TPU only; interpret-mode
+    # coverage lives in the pytest suite, this is the hardware run)
+    if jax.default_backend() != "cpu":
+        try:
+            import os as _os
+
+            from mpibwa_tpu.core.chain import collect_intv
+            from mpibwa_tpu.core.fm import FMIndex
+            from mpibwa_tpu.io.fastq import read_fastq
+            from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
+
+            reads = read_fastq(f"{DATA}/HCC1187C_R1_10K.fastq", limit=16)
+            qs16 = [s.seq for s in reads]
+            prev = _os.environ.get("MPIBWA_BWD")
+            _os.environ["MPIBWA_BWD"] = "pallas"
+            try:
+                got, _ = DeviceSeeder(dfm, opt).collect_batch(qs16)
+            finally:
+                if prev is None:
+                    _os.environ.pop("MPIBWA_BWD", None)
+                else:
+                    _os.environ["MPIBWA_BWD"] = prev
+            fm = FMIndex.from_index(idx)
+            ok = 0
+            for i, s in enumerate(reads):
+                if got[i] is None:
+                    continue
+                assert got[i] == collect_intv(opt, fm, s.seq), s.name
+                ok += 1
+            out["pallas_bwd_compiled_identity"] = ok >= 14
+        except Exception as e:
+            out["pallas_bwd_compiled_identity"] = False
+            out["pallas_bwd_error"] = repr(e)[:200]
+    return out
 
 
 def _init_backend():
@@ -159,8 +337,9 @@ def main():
 
     se_rates, pe_rates = [], []
     identity = {}
+    stages = {}
     if only in ("", "se"):
-        se_rates, identity["se"] = bench_config(
+        se_rates, identity["se"], stages["se"] = bench_config(
             idx, dfm, list(r1), False, workers, batch, passes,
             os.path.join(golden_dir, "se_10k.sam"))
     if only in ("", "pe"):
@@ -172,11 +351,11 @@ def main():
         # against its own golden instead.
         pe_k = int(os.environ.get("BENCH_PE_K", "0"))
         if pe_k:
-            pe_rates, identity["pe"] = bench_config(
+            pe_rates, identity["pe"], stages["pe"] = bench_config(
                 idx, dfm, interleave(r1, r2), True, workers, pe_k, passes,
                 os.path.join(golden_dir, f"pe_10k_k{pe_k}.sam"))
         else:
-            pe_rates, identity["pe"] = bench_config(
+            pe_rates, identity["pe"], stages["pe"] = bench_config(
                 idx, dfm, interleave(r1, r2), True, workers, len(r1) * 2,
                 passes, os.path.join(golden_dir, "pe_10k.sam"))
     se_rps, pe_rps = _median(se_rates), _median(pe_rates)
@@ -187,7 +366,7 @@ def main():
         # scaling claims are data, not design intent
         series = {}
         for w in range(1, workers + 1):
-            rs, _ = bench_config(idx, dfm, list(r1), False, w, batch,
+            rs, _, _ = bench_config(idx, dfm, list(r1), False, w, batch,
                                  max(2, passes - 2),
                                  os.path.join(golden_dir, "se_10k.sam"))
             series[str(w)] = round(_median(rs), 1)
@@ -196,9 +375,17 @@ def main():
         # whole-file batch like the committed golden)
         t1 = read_fastq(f"{DATA}/HCC1187C_R1_10K_TRIM.fastq")
         t2 = read_fastq(f"{DATA}/HCC1187C_R2_10K_TRIM.fastq")
-        _, identity["pe_trim"] = bench_config(
+        _, identity["pe_trim"], _ = bench_config(
             idx, dfm, interleave(t1, t2), True, workers, len(t1) * 2, 0,
             os.path.join(golden_dir, "pe_10k_trim.sam"))
+
+    rf = {}
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1":
+        try:
+            rf = roofline(idx, dfm)
+        except Exception as e:
+            rf = {"error": repr(e)[:200]}
+        print(f"[bench] roofline: {rf}", file=sys.stderr)
 
     ok = all(identity.values())
     headline = pe_rps if only != "se" else se_rps
@@ -219,6 +406,8 @@ def main():
         "workers": workers,
         "worker_series_se": series,
         "identity": identity,
+        "stages_s": stages,
+        "roofline": rf,
     }))
 
 

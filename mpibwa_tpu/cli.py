@@ -14,8 +14,9 @@ Env knobs: MPIBWA_DEVICES=all|N (intra-host device fan-out),
 MPIBWA_WORKERS=k (pipelined workers per device), MPIBWA_SHARD/MPIBWA_NSHARDS
 (multi-process sharding; pair with `merge`), MPIBWA_MICROBATCH (device batch,
 default 16384), MPIBWA_BWD=auto|v8|flat|contig|pallas (backward-SMEM engine;
-auto picks v8 on int32 indexes; `pallas` is experimental — its compiled
-Mosaic path is only diff-tested in interpret mode), MPIBWA_EXT=auto|xla
+auto picks v8 on any device backend, int32 or int64 positions; `pallas` is
+experimental — its compiled Mosaic path runs in every TPU bench via the
+roofline identity check), MPIBWA_EXT=auto|xla
 (extension DP: device kernels, or `native` = every extension DP scalar in
 the C runtime — wins on tunnel-attached chips where link latency dominates),
 MPIBWA_FINAL=native|python and MPIBWA_CHAIN=native|python (host record

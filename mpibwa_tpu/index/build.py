@@ -69,6 +69,14 @@ def fasta2bnt(path: str) -> Tuple[List[ContigAnn], List[AmbHole], np.ndarray, in
     for name, comment, seq in parse_fasta(path):
         offset = l_pac
         codes = NT4_TABLE[np.frombuffer(seq.encode(), dtype=np.uint8)].copy()
+        if not (codes > 3).any():
+            # pure-ACGT contig: no holes, no lrand48 draws — skip the
+            # per-character scan (it is Python-loop bound at Gbp scale)
+            anns.append(ContigAnn(offset, len(seq), 0, 0, 0, name,
+                                  comment or ""))
+            bases.append(codes)
+            l_pac += len(seq)
+            continue
         # ambiguity holes: runs of the same ambiguous character
         n_ambs = 0
         run_start = -1
@@ -155,10 +163,16 @@ def build_fmindex(pac: np.ndarray, l_pac: int, sa_intv: int = 32):
     # For rank r in [0, n]: suffix = n if r == 0 else sa_full[r-1].
     # bwt[r] = seq[suffix-1] for suffix > 0; at suffix == 0 -> primary = r.
     suffixes = np.concatenate([[n], sa_full])  # rank -> suffix start
+    del sa_full  # Gbp-scale: drop the 8n-byte duplicate before the gathers
     primary = int(np.nonzero(suffixes == 0)[0][0])
-    # packed bwt skips the $ (primary) entry
-    keep = np.arange(n + 1) != primary
-    bwt_chars = seq[suffixes[keep] - 1]
+    # packed bwt skips the $ (primary) entry (slice instead of a boolean
+    # arange mask: the mask costs another 9n bytes at Gbp scale)
+    sfx = np.empty(n, dtype=suffixes.dtype)
+    sfx[:primary] = suffixes[:primary]
+    sfx[primary:] = suffixes[primary + 1 :]
+    sfx -= 1
+    bwt_chars = seq[sfx]
+    del sfx
     # cumulative counts L2
     cnt = np.bincount(seq, minlength=4).astype(np.int64)
     L2 = np.zeros(5, dtype=np.int64)
@@ -185,15 +199,22 @@ def build_fmindex(pac: np.ndarray, l_pac: int, sa_intv: int = 32):
     # record holding the totals (bwt_bwtupdate_core appends it; queries
     # never read it but file parity requires it).
     n_data_words = (n + 15) // 16
-    flat = []
-    for b in range(n_blocks):
-        flat.append(inter[b, :8])
-        lo = b * 8
-        hi = min((b + 1) * 8, n_data_words)
-        flat.append(inter[b, 8 : 8 + (hi - lo)])
     totals = np.bincount(bwt_chars, minlength=4).astype(np.uint64)
-    flat.append(totals.view(np.uint32))
-    bwt_arr = np.concatenate(flat).astype(np.uint32)
+    if n_data_words == n_blocks * 8:
+        # every block full (n % 128 == 0): the interleaved array IS the
+        # file layout — avoids the per-block Python list (Gbp genomes
+        # have tens of millions of blocks)
+        bwt_arr = np.concatenate([inter.reshape(-1),
+                                  totals.view(np.uint32)])
+    else:
+        flat = []
+        for b in range(n_blocks):
+            flat.append(inter[b, :8])
+            lo = b * 8
+            hi = min((b + 1) * 8, n_data_words)
+            flat.append(inter[b, 8 : 8 + (hi - lo)])
+        flat.append(totals.view(np.uint32))
+        bwt_arr = np.concatenate(flat).astype(np.uint32)
     # sampled SA with bwt_cal_sa semantics: sa[r/intv] = SA value of rank r
     # where bwt_sa(r) = (r==0 ? n : suffix) ... C: isa=0,sa=seq_len; walk.
     # Equivalently: sampled[r//intv] = (suffixes[r]) with sa[0] = -1.

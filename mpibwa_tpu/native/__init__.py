@@ -18,6 +18,7 @@ import threading
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _LIB_PATH = os.path.join(_DIR, "_libmpibwa.so")
 _SOURCES = ["fixmate.c", "sais.c", "finalize.c"]
+_HEADERS = ["sais_core.h"]
 
 _lock = threading.Lock()
 _lib = None
@@ -26,7 +27,8 @@ _tried = False
 
 def _build() -> bool:
     srcs = [os.path.join(_DIR, s) for s in _SOURCES]
-    newest = max(os.path.getmtime(s) for s in srcs)
+    newest = max(os.path.getmtime(os.path.join(_DIR, f))
+                 for f in _SOURCES + _HEADERS)
     if (os.path.exists(_LIB_PATH)
             and os.path.getmtime(_LIB_PATH) >= newest):
         return True
@@ -67,6 +69,10 @@ def get_lib():
         lib.mpibwa_sais_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
         ]
+        lib.mpibwa_sais64_u8.restype = ctypes.c_int
+        lib.mpibwa_sais64_u8.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
         # finalization runtime (finalize.c)
         P = ctypes.c_void_p
         lib.fin_ctx_new.restype = P
@@ -91,6 +97,10 @@ def get_lib():
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_int, ctypes.c_int,
                                         ctypes.c_int, P]
+        lib.fin_test_extend_batch.restype = ctypes.c_int
+        lib.fin_test_extend_batch.argtypes = [
+            P, P, P, P, ctypes.c_int, ctypes.c_int, ctypes.c_int, P,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, P, P]
         # chaining session (finalize.c chain stage)
         lib.fin_chain_begin.restype = P
         lib.fin_chain_begin.argtypes = [P, ctypes.c_int64, P, P, P, P,
@@ -140,20 +150,27 @@ def fixmate_pair_native(sam1: str, sam2: str, names) -> tuple | None:
 
 def sais_u8(s_bytes) -> "object | None":
     """SA-IS over a uint8 numpy array (alphabet inferred); returns an
-    int32 suffix array or None (caller uses the numpy prefix-doubling
-    fallback). n must be < 2^31."""
+    int32 suffix array (n < 2^31) or int64 (GRCh38-scale doubled
+    sequences), or None (caller uses the numpy prefix-doubling
+    fallback)."""
     import numpy as np
 
     lib = get_lib()
-    if lib is None or len(s_bytes) >= (1 << 31) - 16:
+    if lib is None:
         return None
     arr = np.ascontiguousarray(s_bytes, dtype=np.uint8)
     n = len(arr)
-    sa = np.empty(n, np.int32)
     K = int(arr.max()) + 1 if n else 1
-    rc = lib.mpibwa_sais_u8(arr.ctypes.data_as(ctypes.c_void_p),
-                            sa.ctypes.data_as(ctypes.c_void_p),
-                            ctypes.c_int64(n), ctypes.c_int32(K))
+    if n >= (1 << 31) - 16:
+        sa = np.empty(n, np.int64)
+        rc = lib.mpibwa_sais64_u8(arr.ctypes.data_as(ctypes.c_void_p),
+                                  sa.ctypes.data_as(ctypes.c_void_p),
+                                  ctypes.c_int64(n), ctypes.c_int64(K))
+    else:
+        sa = np.empty(n, np.int32)
+        rc = lib.mpibwa_sais_u8(arr.ctypes.data_as(ctypes.c_void_p),
+                                sa.ctypes.data_as(ctypes.c_void_p),
+                                ctypes.c_int64(n), ctypes.c_int32(K))
     if rc != 0:
         return None
     return sa

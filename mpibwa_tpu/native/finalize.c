@@ -2011,6 +2011,34 @@ static extret_t c_ksw_extend2(scr_t *S, const uint8_t *q, int qlen,
     return r;
 }
 
+/* batched differential-test / roofline hook for c_ksw_extend2: B
+ * problems packed as fixed-stride rows; one call (GIL released on the
+ * Python side) so timing measures the DP, not the FFI. out: (B, 6)
+ * int32 [score, qle, tle, gtle, gscore, max_off]. */
+EXPORT int fin_test_extend_batch(const uint8_t *qs, const uint8_t *ts,
+                                 const int32_t *qlens, const int32_t *tlens,
+                                 int B, int qstride, int tstride,
+                                 const int8_t *mat, int o_del, int e_del,
+                                 int o_ins, int e_ins, const int32_t *params,
+                                 int32_t *out) {
+    scr_t S;
+    memset(&S, 0, sizeof S);
+    g_oom = 0;
+    for (int b = 0; b < B; b++) {
+        const int32_t *p = params + 4 * b;
+        extret_t r = c_ksw_extend2(&S, qs + (size_t)b * qstride, qlens[b],
+                                   ts + (size_t)b * tstride, tlens[b], mat,
+                                   o_del, e_del, o_ins, e_ins,
+                                   p[0], p[1], p[2], p[3]);
+        int32_t *o = out + 6 * b;
+        o[0] = r.score; o[1] = r.qle; o[2] = r.tle;
+        o[3] = r.gtle; o[4] = r.gscore; o[5] = r.max_off;
+        if (g_oom) break;
+    }
+    scr_destroy(&S);
+    return g_oom ? -1 : 0;
+}
+
 /* ------------------------------------------------------------------ */
 /* chains + the exact kbtree (spec: core/kbtree.py, KB t=5)            */
 /* ------------------------------------------------------------------ */

@@ -64,12 +64,18 @@ def fastq_path(name: str) -> pathlib.Path:
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: long-running full-dataset tests")
+    config.addinivalue_line(
+        "markers",
+        "huge: GRCh38-scale (>=2^31 positions) builds, ~40 min + ~60 GB RAM")
 
 
 def pytest_collection_modifyitems(config, items):
     if config.getoption("-m", default=""):
         return
     skip = pytest.mark.skip(reason="slow; run with -m slow")
+    skip_huge = pytest.mark.skip(reason="huge; run with -m huge")
     for item in items:
-        if "slow" in item.keywords:
+        if "huge" in item.keywords:
+            item.add_marker(skip_huge)
+        elif "slow" in item.keywords:
             item.add_marker(skip)
