@@ -80,6 +80,16 @@ def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden):
                 fu.result()
 
     run_pass()  # warm: compiles every shape the data produces
+    # stage timers restart here so stages_s reflects STEADY state (the
+    # warm pass buries remote-compile minutes in whichever stage hit a
+    # new shape first)
+    for al in als:
+        al.stats.pop("t", None)
+        getattr(al.seeder, "times", {}).clear()
+    if os.environ.get("MPIBWA_BWD_STATS") == "1":
+        from mpibwa_tpu.ops import backward8 as B8
+
+        B8.TIMES.clear()
     n = sum(c for _, c in bounds)
     rates = []
     for _ in range(passes):
@@ -100,6 +110,13 @@ def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden):
     agg = {k: round(v, 2) for k, v in sorted(agg.items())}
     print(f"[bench] stage seconds (sum over workers, warm+timed): {agg}",
           file=sys.stderr)
+    if os.environ.get("MPIBWA_BWD_STATS") == "1":
+        from mpibwa_tpu.ops import backward8 as B8
+
+        print(f"[bench] v8 driver phases: "
+              f"{ {k: (round(v, 2) if isinstance(v, float) else v) for k, v in sorted(B8.TIMES.items())} }",
+              file=sys.stderr)
+        B8.TIMES.clear()
     return rates, ok, agg
 
 

@@ -92,15 +92,24 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         return jnp.where((pos >= 0) & (pos < L), q[rows, safe], jnp.uint8(4))
 
     def push(st, do):
-        """Append current ik/info for lanes where do is True."""
-        idx = jnp.minimum(st["n_pushed"], F_CAP - 1)
+        """Append current ik/info for lanes where do is True.
+
+        Pure drop-mode scatters (the non-pushing lanes' writes fall off the
+        end) instead of gather-select-scatter read-modify-writes: the
+        carried (B, F_CAP, ...) buffers are the forward pass's largest
+        arrays, and a scatter whose update value gathers the OLD slot
+        forces XLA to materialize a copy every round (~37 MB/round at
+        B=16K) where the pure form updates the donated buffer in place.
+        An overflowing push (n_pushed >= F_CAP) is dropped rather than
+        overwriting the last slot — the lane is overflow-flagged either
+        way and flagged lanes fall back to the exact scalar engine."""
+        can = do & (st["n_pushed"] < F_CAP)
         ov = do & (st["n_pushed"] >= F_CAP)
-        new_ivals = st["ivals"].at[rows, idx].set(
-            jnp.where(do[:, None], st["ik"], st["ivals"][rows, idx]))
-        new_infos = st["infos"].at[rows, idx].set(
-            jnp.where(do, st["info"], st["infos"][rows, idx]))
-        new_call = st["call_of"].at[rows, idx].set(
-            jnp.where(do, st["n_calls"] - 1, st["call_of"][rows, idx]))
+        sidx = jnp.where(can, st["n_pushed"], F_CAP)
+        new_ivals = st["ivals"].at[rows, sidx].set(st["ik"], mode="drop")
+        new_infos = st["infos"].at[rows, sidx].set(st["info"], mode="drop")
+        new_call = st["call_of"].at[rows, sidx].set(st["n_calls"] - 1,
+                                                    mode="drop")
         st = dict(st, ivals=new_ivals, infos=new_infos, call_of=new_call,
                   n_pushed=st["n_pushed"] + do.astype(jnp.int32),
                   overflow=st["overflow"] | ov)
@@ -139,12 +148,13 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         st = dict(st, overflow=st["overflow"] | call_ov,
                   kind=jnp.where(fin | call_ov, DONE, st["kind"]),
                   x=jnp.where(amb, x + 1, st["x"]))
-        # begin call
-        cidx = jnp.minimum(st["n_calls"], C_CAP - 1)
-        st["call_x"] = st["call_x"].at[rows, cidx].set(
-            jnp.where(beg, x, st["call_x"][rows, cidx]))
+        # begin call (beg already excludes n_calls >= C_CAP, so the
+        # drop-mode index is in range exactly when beg — pure scatter,
+        # same in-place reasoning as push)
+        cidx = jnp.where(beg, jnp.minimum(st["n_calls"], C_CAP - 1), C_CAP)
+        st["call_x"] = st["call_x"].at[rows, cidx].set(x, mode="drop")
         st["call_start"] = st["call_start"].at[rows, cidx].set(
-            jnp.where(beg, st["n_pushed"], st["call_start"][rows, cidx]))
+            st["n_pushed"], mode="drop")
         st["n_calls"] = st["n_calls"] + beg.astype(jnp.int32)
         ik0 = fm.set_intv(jnp.clip(qx, 0, 3).astype(jnp.int32))
         st["ik"] = jnp.where(beg[:, None], ik0, st["ik"])

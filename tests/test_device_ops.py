@@ -258,3 +258,40 @@ def test_wide_collect_flat_rows(dfm_wide, dfm, monkeypatch):
     np.testing.assert_array_equal(out32[0], out64[0])
     np.testing.assert_array_equal(out32[1], out64[1])
     np.testing.assert_array_equal(out32[2], out64[2])
+
+
+def test_v8_schedule_replay_and_retry(dfm, fm, monkeypatch):
+    """The learned-schedule replay (second run of a shape: no live-count
+    syncs) must emit exactly what the adaptive first run did; a poisoned
+    (too-small) schedule must be invalidated and redone adaptively, not
+    produce wrong output."""
+    from mpibwa_tpu.ops import backward8 as B8
+    from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
+
+    monkeypatch.setenv("MPIBWA_BWD", "v8")
+    monkeypatch.setattr(B8, "MIN_CAP", 256)
+    monkeypatch.setattr(B8, "SEG_ROUNDS", 2)
+    B8.SCHED_CACHE.clear()
+    opt = mem_opt_init()
+    seeder = DeviceSeeder(dfm, opt)
+    reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=24)
+    qs = [s.seq for s in reads]
+    first, _ = seeder.collect_batch(qs)   # adaptive (records schedules)
+    assert B8.SCHED_CACHE, "adaptive run should record schedules"
+    replay, _ = seeder.collect_batch(qs)  # static replay (no syncs)
+    assert first == replay
+    want = [collect_intv(opt, fm, s.seq) for s in reads]
+    for i in range(len(reads)):
+        if replay[i] is None:
+            continue
+        assert [(iv[0], iv[2], iv[3]) for iv in replay[i]] == \
+            [(iv[0], iv[2], iv[3]) for iv in want[i]]
+    # poison every schedule to the floor: replays must overflow, retry
+    # adaptively, and still match
+    for k in list(B8.SCHED_CACHE):
+        B8.SCHED_CACHE[k] = (256,)
+    retried, _ = seeder.collect_batch(qs)
+    assert retried == first
+    # the overflowing shapes re-recorded sane schedules (a poisoned
+    # schedule that happens to FIT a small group legitimately survives)
+    assert any(v != (256,) for v in B8.SCHED_CACHE.values())
