@@ -30,16 +30,21 @@ sizes non-decreasing in slot order, which bwt_extend preserves):
    base (bwt_extend's x[1] cascade is the only consumer of the other
    three counts).
 
-The FM-index is queried through a derived OCC16 layout (cumulative counts
-every 16 bases + the one packed data word, split into two 1-D tables) so a
-rank query is 2 gathers + a dozen fused SWAR ops (multiply-free popcount).
-The layout is built once from the bwa-format index and is output-invariant.
+The FM-index is queried through a derived OCC16 layout (one fused
+(n16, 8) int32 row per 16-base sub-block: 4 cumulative counts + the
+packed data word) so a rank query is ONE row gather + a dozen fused SWAR
+ops (multiply-free popcount). The layout is built once from the
+bwa-format index and is output-invariant; positions may be int64
+(GRCh38-scale) while counts/gather indices stay int32.
 
-Capacity follows a STATIC shrink schedule (compact + halve every few
-rounds, then one while_loop tail) with device-side overflow flags instead
-of host-synced live counts — a shrink that would drop live entries flips
-the flag and the driver redoes that group on the exact flat engine
-(seeding_flat), so results are always exact.
+Capacity follows a LEARNED shrink schedule: the first run of a shape
+adapts (one 4-byte live-count sync per segment), records the capacity
+trajectory, and every later run replays it with no syncs at all
+(SCHED_CACHE below). Device-side overflow flags guard the replay — a
+shrink that would drop live entries is detected on the single result
+pull and the group is redone adaptively, so results never depend on the
+schedule; an adaptive-run overflow falls back to the exact flat engine
+(seeding_flat).
 
 Differentially tested against the scalar engine in tests/test_device_ops.py
 (x[1] excluded for this engine).

@@ -61,66 +61,95 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     min_intv: (B,) int64; starts: (B,) int32 initial x (default 0).
     chain=True: after each call, continue from the returned position
     (mem_collect_intv pass-1 loop); chain=False: exactly one call per lane.
+
+    Internals run in (8, W) layout — the v8 backward lesson: (B,)
+    elementwise maps to one VPU sublane row while (8, W) uses all eight —
+    with the push buffers FLAT (Bp*F_CAP) and every update a pure
+    drop-mode scatter so XLA mutates the donated loop buffers in place.
+    The returned FwdOut is reshaped to the documented (B, ...) contract.
     """
     B, L = q.shape
     if starts is None:
         starts = jnp.zeros(B, dtype=jnp.int32)
 
     SEEK, EXT, DONE = 0, 1, 2
+    S = 8
+    Bp = ((B + S - 1) // S) * S
+    W = Bp // S
+    pad = Bp - B
+
+    def pad1(x, fill=0):
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(S, W)
+
+    qflat = q.reshape(-1).astype(jnp.int32)
+    lens2 = pad1(lens.astype(jnp.int32))  # pad lanes: len 0 -> DONE round 1
+    minv2 = pad1(min_intv.astype(fm.idt), 1)
+    row2d = jnp.arange(Bp, dtype=jnp.int32).reshape(S, W)
+    OUT_F = np.int32(Bp * F_CAP)  # drop sentinel for flat push scatters
+    OUT_C = np.int32(Bp * C_CAP)
 
     state = dict(
-        x=starts.astype(jnp.int32),
-        kind=jnp.full(B, SEEK, jnp.int32),
-        ik=jnp.zeros((B, 3), fm.idt),
-        info=jnp.zeros(B, jnp.int32),
-        i=jnp.zeros(B, jnp.int32),
-        ivals=jnp.zeros((B, F_CAP, 3), fm.idt),
-        infos=jnp.zeros((B, F_CAP), jnp.int32),
-        call_of=jnp.full((B, F_CAP), -1, jnp.int32),
-        n_pushed=jnp.zeros(B, jnp.int32),
-        call_x=jnp.zeros((B, C_CAP), jnp.int32),
-        call_start=jnp.zeros((B, C_CAP), jnp.int32),
-        call_len=jnp.zeros((B, C_CAP), jnp.int32),
-        n_calls=jnp.zeros(B, jnp.int32),
-        overflow=jnp.zeros(B, bool),
+        x=pad1(starts.astype(jnp.int32)),
+        kind=jnp.full((S, W), SEEK, jnp.int32),
+        ik0=jnp.zeros((S, W), fm.idt),
+        ik1=jnp.zeros((S, W), fm.idt),
+        ik2=jnp.zeros((S, W), fm.idt),
+        info=jnp.zeros((S, W), jnp.int32),
+        i=jnp.zeros((S, W), jnp.int32),
+        ivals=jnp.zeros((Bp * F_CAP, 3), fm.idt),
+        infos=jnp.zeros(Bp * F_CAP, jnp.int32),
+        call_of=jnp.full(Bp * F_CAP, -1, jnp.int32),
+        n_pushed=jnp.zeros((S, W), jnp.int32),
+        call_x=jnp.zeros(Bp * C_CAP, jnp.int32),
+        call_start=jnp.zeros(Bp * C_CAP, jnp.int32),
+        call_len=jnp.zeros(Bp * C_CAP, jnp.int32),
+        n_calls=jnp.zeros((S, W), jnp.int32),
+        overflow=jnp.zeros((S, W), bool),
     )
-
-    rows = jnp.arange(B)
 
     def qat(pos):
         safe = jnp.clip(pos, 0, L - 1)
-        return jnp.where((pos >= 0) & (pos < L), q[rows, safe], jnp.uint8(4))
+        idx = jnp.minimum(row2d * np.int32(L) + safe, np.int32(B * L - 1))
+        ok = (pos >= 0) & (pos < L) & (row2d < np.int32(B))
+        return jnp.where(ok, qflat[idx], np.int32(4))
 
     def push(st, do):
-        """Append current ik/info for lanes where do is True.
-
-        Pure drop-mode scatters (the non-pushing lanes' writes fall off the
-        end) instead of gather-select-scatter read-modify-writes: the
-        carried (B, F_CAP, ...) buffers are the forward pass's largest
-        arrays, and a scatter whose update value gathers the OLD slot
-        forces XLA to materialize a copy every round (~37 MB/round at
-        B=16K) where the pure form updates the donated buffer in place.
-        An overflowing push (n_pushed >= F_CAP) is dropped rather than
-        overwriting the last slot — the lane is overflow-flagged either
-        way and flagged lanes fall back to the exact scalar engine."""
+        """Append current ik/info for lanes where do is True (pure
+        drop-mode scatters; an overflowing push is dropped — the lane is
+        overflow-flagged and falls back to the exact scalar engine)."""
         can = do & (st["n_pushed"] < F_CAP)
         ov = do & (st["n_pushed"] >= F_CAP)
-        sidx = jnp.where(can, st["n_pushed"], F_CAP)
-        new_ivals = st["ivals"].at[rows, sidx].set(st["ik"], mode="drop")
-        new_infos = st["infos"].at[rows, sidx].set(st["info"], mode="drop")
-        new_call = st["call_of"].at[rows, sidx].set(st["n_calls"] - 1,
-                                                    mode="drop")
-        st = dict(st, ivals=new_ivals, infos=new_infos, call_of=new_call,
-                  n_pushed=st["n_pushed"] + do.astype(jnp.int32),
-                  overflow=st["overflow"] | ov)
-        cidx = jnp.minimum(st["n_calls"] - 1, C_CAP - 1)
-        st["call_len"] = st["call_len"].at[rows, cidx].add(do.astype(jnp.int32))
+        fidx = jnp.where(can, row2d * np.int32(F_CAP) + st["n_pushed"],
+                         OUT_F).reshape(-1)
+        vals = jnp.stack([st["ik0"], st["ik1"], st["ik2"]],
+                         axis=-1).reshape(-1, 3)
+        st = dict(
+            st,
+            ivals=st["ivals"].at[fidx].set(vals, mode="drop"),
+            infos=st["infos"].at[fidx].set(st["info"].reshape(-1),
+                                           mode="drop"),
+            call_of=st["call_of"].at[fidx].set(
+                (st["n_calls"] - 1).reshape(-1), mode="drop"),
+            n_pushed=st["n_pushed"] + do.astype(jnp.int32),
+            overflow=st["overflow"] | ov,
+        )
+        cidx = jnp.where(
+            do,
+            row2d * np.int32(C_CAP)
+            + jnp.minimum(st["n_calls"] - 1, C_CAP - 1),
+            OUT_C).reshape(-1)
+        st["call_len"] = st["call_len"].at[cidx].add(np.int32(1),
+                                                     mode="drop")
         return st
 
     def end_call(st, do):
         """Call finished: last pushed info is the return; chain or stop."""
         last = jnp.maximum(st["n_pushed"] - 1, 0)
-        ret = st["infos"][rows, jnp.minimum(last, F_CAP - 1)]
+        gidx = row2d * np.int32(F_CAP) + jnp.minimum(last, F_CAP - 1)
+        ret = st["infos"][gidx]
         if chain:
             new_x = jnp.where(do, ret, st["x"])
             new_kind = jnp.where(do, SEEK, st["kind"])
@@ -132,11 +161,10 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     def body(st):
         kind, x = st["kind"], st["x"]
         seek = kind == SEEK
-        ext = kind == EXT
 
         # --- seek step ---
         qx = qat(x)
-        fin = seek & (x >= lens)
+        fin = seek & (x >= lens2)
         amb = seek & ~fin & (qx > 3)
         beg = seek & ~fin & ~amb
         call_ov = beg & (st["n_calls"] >= C_CAP)
@@ -148,16 +176,19 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         st = dict(st, overflow=st["overflow"] | call_ov,
                   kind=jnp.where(fin | call_ov, DONE, st["kind"]),
                   x=jnp.where(amb, x + 1, st["x"]))
-        # begin call (beg already excludes n_calls >= C_CAP, so the
-        # drop-mode index is in range exactly when beg — pure scatter,
-        # same in-place reasoning as push)
-        cidx = jnp.where(beg, jnp.minimum(st["n_calls"], C_CAP - 1), C_CAP)
-        st["call_x"] = st["call_x"].at[rows, cidx].set(x, mode="drop")
-        st["call_start"] = st["call_start"].at[rows, cidx].set(
-            st["n_pushed"], mode="drop")
+        # begin call (beg excludes n_calls >= C_CAP: in-range iff beg)
+        cidx = jnp.where(
+            beg, row2d * np.int32(C_CAP) + jnp.minimum(st["n_calls"],
+                                                       C_CAP - 1),
+            OUT_C).reshape(-1)
+        st["call_x"] = st["call_x"].at[cidx].set(x.reshape(-1), mode="drop")
+        st["call_start"] = st["call_start"].at[cidx].set(
+            st["n_pushed"].reshape(-1), mode="drop")
         st["n_calls"] = st["n_calls"] + beg.astype(jnp.int32)
-        ik0 = fm.set_intv(jnp.clip(qx, 0, 3).astype(jnp.int32))
-        st["ik"] = jnp.where(beg[:, None], ik0, st["ik"])
+        ik0n = fm.set_intv(jnp.clip(qx, 0, 3))  # (8, W, 3)
+        st["ik0"] = jnp.where(beg, ik0n[..., 0], st["ik0"])
+        st["ik1"] = jnp.where(beg, ik0n[..., 1], st["ik1"])
+        st["ik2"] = jnp.where(beg, ik0n[..., 2], st["ik2"])
         st["info"] = jnp.where(beg, x + 1, st["info"])
         st["i"] = jnp.where(beg, x + 1, st["i"])
         st["kind"] = jnp.where(beg, EXT, st["kind"])
@@ -165,15 +196,18 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         # --- extend step (one forward base for lanes in EXT) ---
         kind, i = st["kind"], st["i"]
         ext = kind == EXT
-        at_end = ext & (i >= lens)
+        at_end = ext & (i >= lens2)
         qi = qat(i)
         amb_i = ext & ~at_end & (qi > 3)
         do_ext = ext & ~at_end & ~amb_i
-        ok = fm.extend(st["ik"], 0)  # (B, 4, 3)
+        ik = jnp.stack([st["ik0"], st["ik1"], st["ik2"]], axis=-1)
+        ok = fm.extend(ik, 0)  # (8, W, 4, 3)
         c = (3 - jnp.clip(qi, 0, 3)).astype(jnp.int32)
-        okc = ok[rows, c, :]  # (B, 3)
-        changed = okc[:, 2] != st["ik"][:, 2]
-        too_small = okc[:, 2] < st.get("_minintv", min_intv)
+        okc = ok[..., 3, :]
+        for cc in (2, 1, 0):
+            okc = jnp.where((c == cc)[..., None], ok[..., cc, :], okc)
+        changed = okc[..., 2] != st["ik2"]
+        too_small = okc[..., 2] < minv2
         # pushes: end-of-read, ambiguous, or size change
         push_now = at_end | amb_i | (do_ext & changed)
         st = push(st, push_now)
@@ -182,7 +216,9 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         st = end_call(st, term)
         # advance for continuing lanes
         go_on = do_ext & ~(changed & too_small)
-        st["ik"] = jnp.where(go_on[:, None], okc, st["ik"])
+        st["ik0"] = jnp.where(go_on, okc[..., 0], st["ik0"])
+        st["ik1"] = jnp.where(go_on, okc[..., 1], st["ik1"])
+        st["ik2"] = jnp.where(go_on, okc[..., 2], st["ik2"])
         st["info"] = jnp.where(go_on, i + 1, st["info"])
         st["i"] = jnp.where(go_on, i + 1, st["i"])
         return st
@@ -190,11 +226,16 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     def cond(st):
         return jnp.any(st["kind"] != DONE)
 
-    state["_minintv"] = min_intv.astype(fm.idt)
     state = jax.lax.while_loop(cond, body, state)
-    return FwdOut(state["ivals"], state["infos"], state["call_of"],
-                  state["n_pushed"], state["call_x"], state["call_start"],
-                  state["call_len"], state["n_calls"], state["overflow"])
+    return FwdOut(state["ivals"].reshape(Bp, F_CAP, 3)[:B],
+                  state["infos"].reshape(Bp, F_CAP)[:B],
+                  state["call_of"].reshape(Bp, F_CAP)[:B],
+                  state["n_pushed"].reshape(Bp)[:B],
+                  state["call_x"].reshape(Bp, C_CAP)[:B],
+                  state["call_start"].reshape(Bp, C_CAP)[:B],
+                  state["call_len"].reshape(Bp, C_CAP)[:B],
+                  state["n_calls"].reshape(Bp)[:B],
+                  state["overflow"].reshape(Bp)[:B])
 
 
 class BwdOut(NamedTuple):
