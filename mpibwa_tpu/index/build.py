@@ -36,6 +36,18 @@ class LRand48:
         return self.x >> 17
 
 
+def _lrand48_fill(rng: "LRand48", n: int) -> np.ndarray:
+    """n sequential lrand48()&3 draws, advancing rng's state; native C
+    when available (150M draws for GRCh38's N bases are Python-loop bound
+    otherwise)."""
+    from mpibwa_tpu.native import lrand48_fill_native
+
+    out = lrand48_fill_native(rng, n)
+    if out is not None:
+        return out
+    return np.array([rng.lrand48() & 3 for _ in range(n)], np.uint8)
+
+
 def parse_fasta(path: str):
     """Yields (name, comment, seq_str)."""
     name = comment = None
@@ -68,33 +80,31 @@ def fasta2bnt(path: str) -> Tuple[List[ContigAnn], List[AmbHole], np.ndarray, in
     l_pac = 0
     for name, comment, seq in parse_fasta(path):
         offset = l_pac
-        codes = NT4_TABLE[np.frombuffer(seq.encode(), dtype=np.uint8)].copy()
-        if not (codes > 3).any():
-            # pure-ACGT contig: no holes, no lrand48 draws — skip the
-            # per-character scan (it is Python-loop bound at Gbp scale)
-            anns.append(ContigAnn(offset, len(seq), 0, 0, 0, name,
-                                  comment or ""))
-            bases.append(codes)
-            l_pac += len(seq)
-            continue
-        # ambiguity holes: runs of the same ambiguous character
-        n_ambs = 0
-        run_start = -1
-        run_char = ""
-        for i, ch in enumerate(seq):
-            c = codes[i]
-            if c > 3:
-                if run_start >= 0 and run_char == ch:
-                    ambs[-1].length += 1
-                else:
-                    ambs.append(AmbHole(offset + i, 1, ch))
-                    n_ambs += 1
-                    run_start = i
-                    run_char = ch
-                codes[i] = rng.lrand48() & 3
-            else:
-                run_start = -1
-                run_char = ""
+        raw = np.frombuffer(seq.encode(), dtype=np.uint8)
+        codes = NT4_TABLE[raw].copy()
+        amb_idx = np.nonzero(codes > 3)[0]
+        if len(amb_idx):
+            # ambiguity holes = maximal runs of the SAME ambiguous
+            # character (bns_fasta2bntseq semantics). Vectorized: a new
+            # hole starts where the ambiguous positions are non-adjacent
+            # or the character changes — a GRCh38 chromosome would take
+            # minutes per contig through the per-character Python loop
+            # this replaces (verified identical by the oracle-diffed
+            # genome-scale build test, whose genome contains N runs).
+            chars = raw[amb_idx]
+            new_run = np.ones(len(amb_idx), bool)
+            new_run[1:] = (np.diff(amb_idx) != 1) | (chars[1:] != chars[:-1])
+            starts = np.nonzero(new_run)[0]
+            run_len = np.diff(np.append(starts, len(amb_idx)))
+            for s, ln in zip(starts, run_len):
+                ambs.append(AmbHole(offset + int(amb_idx[s]), int(ln),
+                                    chr(chars[s])))
+            # lrand48()%4 per ambiguous base IN ORDER (the LCG state is
+            # sequential); drawn natively when the C library is present
+            codes[amb_idx] = _lrand48_fill(rng, len(amb_idx))
+            n_ambs = len(starts)
+        else:
+            n_ambs = 0
         anns.append(ContigAnn(offset, len(seq), n_ambs, 0, 0, name, comment or ""))
         bases.append(codes)
         l_pac += len(seq)

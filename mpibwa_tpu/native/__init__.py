@@ -73,6 +73,10 @@ def get_lib():
         lib.mpibwa_sais64_u8.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.mpibwa_lrand48_fill.restype = None
+        lib.mpibwa_lrand48_fill.argtypes = [
+            ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64, ctypes.c_void_p,
+        ]
         # finalization runtime (finalize.c)
         P = ctypes.c_void_p
         lib.fin_ctx_new.restype = P
@@ -174,3 +178,20 @@ def sais_u8(s_bytes) -> "object | None":
     if rc != 0:
         return None
     return sa
+
+
+def lrand48_fill_native(rng, n: int):
+    """n sequential lrand48()&3 draws advancing rng.x (index/build.py's
+    LRand48), or None -> caller uses the Python loop."""
+    import numpy as np
+
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty(max(n, 0), np.uint8)
+    if n > 0:
+        state = ctypes.c_uint64(rng.x)
+        lib.mpibwa_lrand48_fill(ctypes.byref(state), ctypes.c_int64(n),
+                                out.ctypes.data_as(ctypes.c_void_p))
+        rng.x = int(state.value)
+    return out

@@ -46,3 +46,18 @@ int mpibwa_sais64_u8(const uint8_t *s, int64_t *sa, int64_t n, int64_t K) {
     if (n < 0) return -1;
     return sais_core64(s, 1, sa, n, K);
 }
+
+/* POSIX drand48-family LCG (x' = a*x + c mod 2^48): lrand48()&3 per
+ * draw — the N-hole filling RNG of bns_fasta2bntseq (bntseq.c:253,
+ * srand48(11)). state holds the 48-bit x, updated in place so draws
+ * chain across contigs exactly like repeated lrand48() calls. */
+void mpibwa_lrand48_fill(uint64_t *state, int64_t n, uint8_t *out) {
+    uint64_t x = *state;
+    const uint64_t A = 0x5DEECE66DULL, C = 0xBULL;
+    const uint64_t MASK = (1ULL << 48) - 1;
+    for (int64_t i = 0; i < n; i++) {
+        x = (A * x + C) & MASK;
+        out[i] = (uint8_t)((x >> 17) & 3);
+    }
+    *state = x;
+}

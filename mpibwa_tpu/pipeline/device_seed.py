@@ -103,7 +103,6 @@ def _fused_p1_p3_jit():
             axis=1)
         C = fwd.call_x.shape[1]
         S = p3.infos.shape[1]
-        TOT = B * C + 4 * B * S
 
         cw = ((fwd.call_x.astype(jnp.int64) << 42)
               | (fwd.call_start.astype(jnp.int64) << 21)
@@ -112,7 +111,6 @@ def _fused_p1_p3_jit():
                  < jnp.minimum(fwd.n_calls, C).astype(jnp.int32)[:, None]
                  ).ravel()
         posc = jnp.cumsum(maskc.astype(jnp.int32)) - 1
-        e1 = jnp.minimum(fwd.n_calls, C).astype(jnp.int32).sum()
 
         quads = jnp.concatenate(
             [p3.seeds.astype(jnp.int64),
@@ -123,34 +121,50 @@ def _fused_p1_p3_jit():
                  ).ravel()
         poss = jnp.cumsum(masks.astype(jnp.int32)) - 1
 
-        buf = jnp.zeros(TOT + 1, jnp.int64)
-        buf = buf.at[jnp.where(maskc, posc, TOT)].set(cw, mode="drop")
-        base = e1 + 4 * poss
+        # two compacted buffers (calls, seeds): the host needs the call
+        # words BEFORE it can assemble the backward, but the seed quads
+        # only after it — splitting lets the seeds ride a device->host
+        # copy that overlaps the backward's round compute
+        TOTC = B * C
+        bufc = jnp.zeros(TOTC + 1, jnp.int64).at[
+            jnp.where(maskc, posc, TOTC)].set(cw, mode="drop")[:TOTC]
+        TOTS = 4 * B * S
+        bufs = jnp.zeros(TOTS + 1, jnp.int64)
+        base = 4 * poss
         for j in range(4):
-            buf = buf.at[jnp.where(masks, base + j, TOT)].set(
+            bufs = bufs.at[jnp.where(masks, base + j, TOTS)].set(
                 quads[:, j], mode="drop")
-        return fwd.ivals, fwd.infos, counts, buf[:TOT]
+        return fwd.ivals, fwd.infos, counts, bufc, bufs[:TOTS]
 
     _JITS["p1p3"] = run
     return run
 
 
-def _pull_p1p3(counts_d, buf_d):
-    """Pull the fused pass-1/pass-3 results: counts, then ONE
-    pow2-bucketed prefix of the combined buffer (see _fused_p1_p3).
-    Returns (counts, fallback, ncl, calls_np (e1, 3) int64 [x, start,
-    len], n3 (B,) clamped, seeds_np (e3, 4) int64)."""
+def _pull_p1p3(counts_d, bufc_d, bufs_d):
+    """Pull the fused pass-1/pass-3 results: counts, then the call words
+    (needed NOW to assemble the backward) and an ASYNC pull of the seed
+    quads (consumed only after the backward — the copy overlaps its round
+    compute). Returns (counts, fallback, ncl, calls_np (e1, 3) int64
+    [x, start, len], n3 (B,) clamped, seeds_thunk -> (e3, 4) int64)."""
+    import os
+
+    from mpibwa_tpu.ops.pulls import pull_prefix_async
+
     counts = np.asarray(counts_d)
     fallback = counts[:, 0] != 0
     ncl = np.minimum(counts[:, 1].astype(np.int64), seeding.C_CAP)
     n3 = np.minimum(counts[:, 3].astype(np.int64), seeding.S3_CAP)
     e1, e3 = int(ncl.sum()), int(n3.sum())
-    words = pull_prefix(buf_d, e1 + 4 * e3, min_cap=1024)
-    w = words[:e1]
+    w = pull_prefix(bufc_d, e1, min_cap=1024)
+    if os.environ.get("MPIBWA_ASYNC_PULL", "1") == "1":
+        seeds_raw = pull_prefix_async(bufs_d, 4 * e3, min_cap=1024)
+    else:
+        got = pull_prefix(bufs_d, 4 * e3, min_cap=1024)
+        seeds_raw = lambda: got
     M21 = (1 << 21) - 1
     calls_np = np.stack([w >> 42, (w >> 21) & M21, w & M21], axis=1)
-    seeds_np = words[e1 : e1 + 4 * e3].reshape(e3, 4)
-    return counts, fallback, ncl, calls_np, n3, seeds_np
+    seeds_thunk = lambda: seeds_raw().reshape(e3, 4)
+    return counts, fallback, ncl, calls_np, n3, seeds_thunk
 
 
 def _pack_fwd1(fwd):
@@ -353,11 +367,11 @@ class DeviceSeeder:
         # ---- pass 1 forward (+ pass 3, fused: one dispatch, sparse pull) ----
         p3_sparse = None
         if opt.max_mem_intv > 0:
-            ivals1, infos1, counts_d, buf_d = _fused_p1_p3(
+            ivals1, infos1, counts_d, bufc_d, bufs_d = _fused_p1_p3(
                 self.dfm, qd, lensd, opt.min_seed_len, opt.max_mem_intv)
-            counts, fallback, ncl, calls_np, n3_all, seeds_np = _pull_p1p3(
-                counts_d, buf_d)
-            p3_sparse = (counts[:, 2], n3_all, seeds_np)
+            counts, fallback, ncl, calls_np, n3_all, seeds_thunk = \
+                _pull_p1p3(counts_d, bufc_d, bufs_d)
+            p3_sparse = (counts[:, 2], n3_all, seeds_thunk)
         else:
             min1 = jnp.ones(B, dtype=jnp.int64)
             fwd = seeding.forward_pass(self.dfm, qd, lensd, min1, True)
@@ -460,6 +474,7 @@ class DeviceSeeder:
         pass3_out = [[] for _ in range(B)]
         if p3_sparse is not None:
             ov3, n3, seeds_np = p3_sparse
+            seeds_np = seeds_np()  # async pull (see _pull_p1p3)
             for b in np.nonzero(ov3)[0]:
                 fallback[b] = True
             e3 = len(seeds_np)
@@ -589,11 +604,11 @@ class DeviceSeeder:
         # ---- pass 1 forward (+ pass 3, fused, sparse pull) ----
         p3_sparse = None
         if opt.max_mem_intv > 0:
-            ivals1, infos1, counts_d, buf_d = _fused_p1_p3(
+            ivals1, infos1, counts_d, bufc_d, bufs_d = _fused_p1_p3(
                 self.dfm, qd, lensd, opt.min_seed_len, opt.max_mem_intv)
-            counts, fallback, ncl, calls_np, n3_all, seeds_np = _pull_p1p3(
-                counts_d, buf_d)
-            p3_sparse = (counts[:, 2], n3_all, seeds_np)
+            counts, fallback, ncl, calls_np, n3_all, seeds_thunk = \
+                _pull_p1p3(counts_d, bufc_d, bufs_d)
+            p3_sparse = (counts[:, 2], n3_all, seeds_thunk)
         else:
             min1 = jnp.ones(B, dtype=jnp.int64)
             fwd = seeding.forward_pass(self.dfm, qd, lensd, min1, True)
@@ -677,8 +692,9 @@ class DeviceSeeder:
         rows3 = np.zeros((0, 4), np.int64)
         read3 = np.zeros(0, np.int64)
         if p3_sparse is not None:
-            ov3, n3, seeds_np = p3_sparse
+            ov3, n3, seeds_thunk3 = p3_sparse
             fallback |= ov3 != 0
+            seeds_np = seeds_thunk3()  # transfer overlapped the backward
             if len(seeds_np):
                 read3 = np.repeat(np.arange(B, dtype=np.int64), n3)
                 keep3 = ~fallback[read3]
