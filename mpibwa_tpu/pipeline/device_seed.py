@@ -633,7 +633,7 @@ class DeviceSeeder:
              calls_np[:, 0].astype(np.int64),
              np.ones(len(b_of), np.int64)], axis=1)
         t0 = _mark("tables1", t0)
-        rows1, ov1 = self._backward_rows(qd, list(lanes1), ivals1, infos1)
+        rows1, ov1 = self._backward_rows(qd, lanes1, ivals1, infos1)
         if ov1:
             return None
         t0 = _mark("bwd1", t0)
@@ -653,15 +653,21 @@ class DeviceSeeder:
             sreads = read1[sel]
             n2 = len(srows)
             B2 = 1 << max(4, (n2 - 1).bit_length())
-            q2 = np.full((B2, q.shape[1]), 4, dtype=np.uint8)
-            q2[:n2] = q[sreads]
+            # build the sub-batch ON DEVICE: the reads already live in qd,
+            # so pass 2 uploads only the (B2,) row indices (~4 B/row)
+            # instead of re-sending (B2, L) bases up the ~6 MB/s link
+            row_idx = np.zeros(B2, np.int32)
+            row_idx[:n2] = sreads
+            valid2 = np.zeros(B2, bool)
+            valid2[:n2] = True
             lens2 = np.zeros(B2, np.int32)
             lens2[:n2] = lens[sreads]
             starts2 = np.zeros(B2, np.int32)
             starts2[:n2] = (srows[:, 3] + srows[:, 4]) >> 1
             min2 = np.ones(B2, np.int64)
             min2[:n2] = srows[:, 2].astype(np.int64) + 1
-            q2d = jnp.asarray(q2)
+            q2d = jnp.where(jnp.asarray(valid2)[:, None],
+                            qd[jnp.asarray(row_idx)], jnp.uint8(4))
             t2 = _time.time()
             fwd2 = seeding.forward_pass(self.dfm, q2d, jnp.asarray(lens2),
                                         jnp.asarray(min2), False,
@@ -678,7 +684,7 @@ class DeviceSeeder:
                     [l2idx, p2[l2idx, 3], p2[l2idx, 4], p2[l2idx, 2],
                      min2[l2idx]], axis=1)
                 t2 = _time.time()
-                rows2, ov2 = self._backward_rows(q2d, list(call_list2),
+                rows2, ov2 = self._backward_rows(q2d, call_list2,
                                                  fwd2.ivals, fwd2.infos)
                 tt["p2_bwd"] = tt.get("p2_bwd", 0.0) + _time.time() - t2
                 if ov2:

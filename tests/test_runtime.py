@@ -657,25 +657,40 @@ for line in open('/proc/self/smaps'):
 print(json.dumps({{'rss_kb': rss, 'shared_kb': shared,
                    'private_kb': private, 'touched': tot}}))
 """)
-    procs = []
-    for k in range(4):
-        tag = str(tmp_path / f"c{k}")
-        procs.append((tag, subprocess.Popen(
-            [sys.executable, str(child), tag], stdout=subprocess.PIPE)))
-    deadline = time.time() + 120
-    while time.time() < deadline:
-        if all(os.path.exists(t + ".ready") for t, _ in procs):
+    def one_round(rd):
+        procs = []
+        for k in range(4):
+            tag = str(tmp_path / f"r{rd}c{k}")
+            procs.append((tag, subprocess.Popen(
+                [sys.executable, str(child), tag], stdout=subprocess.PIPE)))
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            if all(os.path.exists(t + ".ready") for t, _ in procs):
+                break
+            time.sleep(0.05)
+        (tmp_path / "go").write_text("1")
+        stats = []
+        for _, p in procs:
+            out, _ = p.communicate(timeout=120)
+            assert p.returncode == 0
+            stats.append(json.loads(out))
+        for st in stats:
+            # the arrays (not the json meta tail) must be resident...
+            if not st["rss_kb"] * 1024 > 0.5 * size:
+                return st
+            # ...and deduplicated across the 4 processes: private pages
+            # are a sliver (copy-per-process would make ALL private)
+            if not st["private_kb"] <= 0.1 * st["rss_kb"] + 64:
+                return st
+        return None
+
+    # under memory pressure the kernel may reclaim another process's
+    # page-table entries, making genuinely shared pages COUNT as private
+    # for a moment — retry before declaring the mapping unshared
+    last = None
+    for rd in range(3):
+        (tmp_path / "go").unlink(missing_ok=True)
+        last = one_round(rd)
+        if last is None:
             break
-        time.sleep(0.05)
-    (tmp_path / "go").write_text("1")
-    stats = []
-    for _, p in procs:
-        out, _ = p.communicate(timeout=120)
-        assert p.returncode == 0
-        stats.append(json.loads(out))
-    for st in stats:
-        # the arrays (not the json meta tail) must be resident...
-        assert st["rss_kb"] * 1024 > 0.5 * size, st
-        # ...and deduplicated across the 4 processes: private pages are a
-        # sliver (copy-per-process would make ALL of them private)
-        assert st["private_kb"] <= 0.1 * st["rss_kb"] + 64, st
+    assert last is None, last
