@@ -444,6 +444,71 @@ def test_cli_bgzf_output(idx_prefix, tmp_path):
     assert strip(text) == strip(want)
 
 
+def test_cli_bam_output(idx_prefix, tmp_path):
+    """-b writes .bam output — the reference's BAM is BGZF-compressed SAM
+    text: compressed header block(s), per-chunk body block runs, and the
+    28-byte BGZF EOF magic (mainParallel.c:1509-1516,
+    parallel_aux.c:1920-2026). Decoded back through BGZFReader it must
+    byte-match the plain SAM run."""
+    from mpibwa_tpu.cli import main
+    from mpibwa_tpu.io.bgzf import BGZF_EOF, BGZFReader, is_bgzf
+
+    sub = tmp_path / "sub.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f:
+        sub.write_text("".join(next(f) for _ in range(50 * 4)))
+    out = tmp_path / "bb"
+    assert main(["mem", "-b", "-o", str(out), idx_prefix, str(sub)]) == 0
+    sam_out = tmp_path / "ss"
+    assert main(["mem", "-o", str(sam_out), idx_prefix, str(sub)]) == 0
+    bam_path = str(out) + ".bam"
+    data = open(bam_path, "rb").read()
+    assert is_bgzf(bam_path)
+    assert data.endswith(BGZF_EOF)
+    with open(bam_path, "rb") as f:
+        text = BGZFReader(f).read().decode()
+    want = open(str(sam_out) + ".sam").read()
+    # @PG CL differs (-b and -o paths are part of argv); compare the rest
+    strip = lambda t: [l for l in t.splitlines() if not l.startswith("@PG")]
+    assert strip(text) == strip(want)
+
+
+def test_cli_bychr_bam_output(idx_prefix, tmp_path):
+    """membychr -b: every per-chromosome file (incl. discordant/unmapped)
+    is BGZF-of-SAM with its own EOF magic (mainParallelByChromosome.c
+    :1514-1563, :1591-1599) and decodes to the per-chr SAM run."""
+    import os
+
+    from mpibwa_tpu.cli import main
+    from mpibwa_tpu.io.bgzf import BGZF_EOF, BGZFReader
+
+    inter = tmp_path / "inter.fq"
+    with open(fastq_path("HCC1187C_R1_10K.fastq")) as f1, \
+            open(fastq_path("HCC1187C_R2_10K.fastq")) as f2, \
+            open(inter, "w") as out:
+        for _ in range(60):
+            for _ in range(4):
+                out.write(next(f1))
+            for _ in range(4):
+                out.write(next(f2))
+    sdir = tmp_path / "bychr_sam"
+    assert main(["membychr", "-p", "-o", str(sdir), idx_prefix,
+                 str(inter)]) == 0
+    bdir = tmp_path / "bychr_bam"
+    assert main(["membychr", "-p", "-b", "-o", str(bdir), idx_prefix,
+                 str(inter)]) == 0
+    sam_files = sorted(os.listdir(sdir))
+    bam_files = sorted(os.listdir(bdir))
+    assert [f.replace(".bam", ".sam") for f in bam_files] == sam_files
+    strip = lambda t: [l for l in t.splitlines() if not l.startswith("@PG")]
+    for name in bam_files:
+        data = (bdir / name).read_bytes()
+        assert data.endswith(BGZF_EOF), name
+        with open(bdir / name, "rb") as f:
+            text = BGZFReader(f).read().decode()
+        want = (sdir / name.replace(".bam", ".sam")).read_text()
+        assert strip(text) == strip(want), name
+
+
 def test_sharded_scan_matches_full_scan(tmp_path):
     """Cooperative striped scanning (scan_fastq_sharded) must reproduce the
     full-scan offset index bit for bit, for any shard/N (chunk boundaries
