@@ -102,6 +102,9 @@ def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden,
         from mpibwa_tpu.ops import backward8 as B8
 
         B8.TIMES.clear()
+    from mpibwa_tpu import native as _native
+
+    _native.pe_emit_stats(reset=True)  # steady-state PE emit phase split
     n = sum(c for _, c in bounds)
     rates = []
     for _ in range(passes):
@@ -119,6 +122,10 @@ def bench_config(idx, dfm, seqs, pe, workers, batch, passes, golden,
             agg[k] = agg.get(k, 0.0) + v
         for k, v in getattr(al.seeder, "times", {}).items():
             agg["seed." + k] = agg.get("seed." + k, 0.0) + v
+    pe_ph = _native.pe_emit_stats(reset=True)
+    if pe and pe_ph and pe_ph.get("total_s", 0.0) > 0:
+        for k, v in pe_ph.items():
+            agg["emit." + k] = agg.get("emit." + k, 0.0) + v
     agg = {k: round(v, 2) for k, v in sorted(agg.items())}
     print(f"[bench] stage seconds (sum over workers, warm+timed): {agg}",
           file=sys.stderr)

@@ -33,7 +33,8 @@ def _build() -> bool:
             and os.path.getmtime(_LIB_PATH) >= newest):
         return True
     cc = os.environ.get("CC", "cc")
-    cmd = [cc, "-O2", "-fPIC", "-shared", "-o", _LIB_PATH] + srcs + ["-lm"]
+    cmd = [cc, "-O2", "-fPIC", "-shared", "-pthread", "-o", _LIB_PATH] \
+        + srcs + ["-lm"]
     try:
         subprocess.run(cmd, check=True, capture_output=True)
         return True
@@ -122,8 +123,25 @@ def get_lib():
         lib.fin_pestat.restype = None
         lib.fin_pestat.argtypes = [P, P, P, ctypes.c_int64, ctypes.c_int,
                                    P, P, P, ctypes.POINTER(P)]
+        lib.fin_pe_stats.restype = None
+        lib.fin_pe_stats.argtypes = [ctypes.POINTER(ctypes.c_double),
+                                     ctypes.c_int]
         _lib = lib
         return _lib
+
+
+def pe_emit_stats(reset: bool = False) -> "dict | None":
+    """PE-emit phase seconds accumulated inside fin_batch (finalize.c
+    fin_pe_stats): rescue SW, mark-primary+pair, XA, reg2aln (CIGAR/NM/MD),
+    SAM text, total batch wall. None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = (ctypes.c_double * 6)()
+    lib.fin_pe_stats(buf, 1 if reset else 0)
+    keys = ("rescue_s", "pair_s", "xa_s", "reg2aln_s", "samtext_s",
+            "total_s")
+    return dict(zip(keys, [float(x) for x in buf]))
 
 
 def fixmate_pair_native(sam1: str, sam2: str, names) -> tuple | None:

@@ -20,12 +20,37 @@
  */
 
 #include <math.h>
+#include <pthread.h>
 #include <stdint.h>
 #include <stdio.h>
 #include <stdlib.h>
 #include <string.h>
+#include <time.h>
 
 #define EXPORT __attribute__((visibility("default")))
+
+/* --- PE-emit phase profile (fin_pe_stats) ---------------------------
+ * Per-batch seconds accumulate in scr_t.ph during the (GIL-released)
+ * batch call, then flush into these globals under a mutex; bench.py
+ * reads/resets them to split the PE emit wall (VERDICT r4 weak #4):
+ * [0] mate-rescue SW (mem_matesw loop)     [1] mark-primary + mem_pair
+ * [2] XA strings (mem_gen_alt)             [3] mem_reg2aln (CIGAR/NM/MD)
+ * [4] SAM text (mem_aln2sam/mem_reg2sam)   [5] whole fin_batch wall */
+static pthread_mutex_t pe_mu = PTHREAD_MUTEX_INITIALIZER;
+static double pe_ph_g[6];
+
+static double now_s(void) {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
+}
+
+EXPORT void fin_pe_stats(double *out6, int reset) {
+    pthread_mutex_lock(&pe_mu);
+    for (int i = 0; i < 6; ++i) out6[i] = pe_ph_g[i];
+    if (reset) memset(pe_ph_g, 0, sizeof pe_ph_g);
+    pthread_mutex_unlock(&pe_mu);
+}
 
 static _Thread_local int g_oom; /* set on allocation failure; checked per batch */
 
@@ -275,7 +300,16 @@ typedef struct {
     int32_t *b_i; size_t b_i_m;
     int *z_idx; size_t z_idx_m;
     uint8_t *mrev; size_t mrev_m;
+    double ph[6]; /* PE phase seconds this batch (see fin_pe_stats) */
 } scr_t;
+
+/* wrap a statement and charge its wall time to PE phase i */
+#define PH(S_, i, stmt)                  \
+    do {                                 \
+        double _t0 = now_s();            \
+        stmt;                            \
+        (S_)->ph[i] += now_s() - _t0;    \
+    } while (0)
 
 static void *scr_get(void **buf, size_t *cap, size_t need, size_t esz) {
     if (need * esz > *cap) {
@@ -1543,6 +1577,7 @@ static int mem_sam_pe(const fin_t *f, scr_t *S, const pes_t *pes,
                       const char *rg_id) {
     int n = 0;
     if (!(f->flag & MEM_F_NO_RESCUE)) {
+        double t_r = now_s();
         regvec_t b[2] = {{0, 0, 0}, {0, 0, 0}};
         /* candidate lists are value copies taken up front (kv_push-by-value
          * semantics; rescue mutations of a[] never touch rb/rid/is_alt of
@@ -1559,11 +1594,12 @@ static int mem_sam_pe(const fin_t *f, scr_t *S, const pes_t *pes,
         }
         free(b[0].a);
         free(b[1].a);
+        S->ph[0] += now_s() - t_r;
         if (g_oom) return n;
     }
     int n_pri[2];
-    n_pri[0] = mem_mark_primary_se(f, &a[0], (id_ << 1) | 0, S);
-    n_pri[1] = mem_mark_primary_se(f, &a[1], (id_ << 1) | 1, S);
+    PH(S, 1, n_pri[0] = mem_mark_primary_se(f, &a[0], (id_ << 1) | 0, S));
+    PH(S, 1, n_pri[1] = mem_mark_primary_se(f, &a[1], (id_ << 1) | 1, S));
     if (f->flag & MEM_F_PRIMARY5) {
         mem_reorder_primary5(f->T, &a[0]);
         mem_reorder_primary5(f->T, &a[1]);
@@ -1572,7 +1608,7 @@ static int mem_sam_pe(const fin_t *f, scr_t *S, const pes_t *pes,
         int o = 0, sub = 0, n_sub = 0;
         int z[2] = {-1, -1};
         if (n_pri[0] && n_pri[1])
-            mem_pair(f, pes, a, id_, n_pri, &o, &sub, &n_sub, z);
+            PH(S, 1, mem_pair(f, pes, a, id_, n_pri, &o, &sub, &n_sub, z));
         if (n_pri[0] && n_pri[1] && o > 0) {
             int is_multi[2];
             for (int i = 0; i < 2; ++i) {
@@ -1637,16 +1673,16 @@ static int mem_sam_pe(const fin_t *f, scr_t *S, const pes_t *pes,
                     for (int i = 0; i < 2; ++i) {
                         xa[i] = (ks_t *)calloc((size_t)a[i].n, sizeof(ks_t));
                         if (!xa[i]) { g_oom = 1; return n; }
-                        have_xa[i] = mem_gen_alt(f, S, &a[i], s[i].l_seq,
-                                                 s[i].seq, xa[i]);
+                        PH(S, 2, have_xa[i] = mem_gen_alt(
+                               f, S, &a[i], s[i].l_seq, s[i].seq, xa[i]));
                     }
                 }
                 aln_t h[2];
                 aln_t aa[2][2];
                 int naa[2] = {0, 0};
                 for (int i = 0; i < 2; ++i) {
-                    mem_reg2aln(f, S, &h[i], s[i].seq, s[i].l_seq,
-                                &a[i].a[z[i]]);
+                    PH(S, 3, mem_reg2aln(f, S, &h[i], s[i].seq, s[i].l_seq,
+                                         &a[i].a[z[i]]));
                     h[i].mapq = q_se[i];
                     h[i].flag |= (0x40 << i) | extra_flag;
                     h[i].XA = (have_xa[i] && xa[i][z[i]].l) ? xa[i][z[i]].s
@@ -1657,7 +1693,8 @@ static int mem_sam_pe(const fin_t *f, scr_t *S, const pes_t *pes,
                         if (!(p->score < f->T || p->secondary >= 0
                               || !p->is_alt)) {
                             aln_t g;
-                            mem_reg2aln(f, S, &g, s[i].seq, s[i].l_seq, p);
+                            PH(S, 3, mem_reg2aln(f, S, &g, s[i].seq,
+                                                 s[i].l_seq, p));
                             g.flag |= 0x800 | (0x40 << i) | extra_flag;
                             g.XA = (have_xa[i] && xa[i][n_pri[i]].l)
                                    ? xa[i][n_pri[i]].s : 0;
@@ -1665,10 +1702,12 @@ static int mem_sam_pe(const fin_t *f, scr_t *S, const pes_t *pes,
                         }
                     }
                 }
+                double t_sam = now_s();
                 for (int k = 0; k < naa[0]; ++k)
                     mem_aln2sam(f, &s[0], naa[0], aa[0], k, &h[1], rg_id);
                 for (int k = 0; k < naa[1]; ++k)
                     mem_aln2sam(f, &s[1], naa[1], aa[1], k, &h[0], rg_id);
+                S->ph[4] += now_s() - t_sam;
                 for (int i = 0; i < 2; ++i) {
                     /* aa[i][0] holds h[i]'s buffers: destroy via aa only */
                     for (int k = 0; k < naa[i]; ++k) aln_destroy(&aa[i][k]);
@@ -1693,8 +1732,8 @@ static int mem_sam_pe(const fin_t *f, scr_t *S, const pes_t *pes,
                          && a[i].a[n_pri[i]].score >= f->T)
                     which = n_pri[i];
             }
-            mem_reg2aln(f, S, &h[i], s[i].seq, s[i].l_seq,
-                        which >= 0 ? &a[i].a[which] : 0);
+            PH(S, 3, mem_reg2aln(f, S, &h[i], s[i].seq, s[i].l_seq,
+                                 which >= 0 ? &a[i].a[which] : 0));
         }
         if (!(f->flag & MEM_F_NOPAIRING) && h[0].rid == h[1].rid
             && h[1].rid >= 0) {
@@ -1704,8 +1743,10 @@ static int mem_sam_pe(const fin_t *f, scr_t *S, const pes_t *pes,
             if (!pes[d].failed && dist >= pes[d].low && dist <= pes[d].high)
                 extra_flag |= 2;
         }
-        mem_reg2sam(f, S, &s[0], &a[0], 0x41 | extra_flag, &h[1], rg_id);
-        mem_reg2sam(f, S, &s[1], &a[1], 0x81 | extra_flag, &h[0], rg_id);
+        PH(S, 4, mem_reg2sam(f, S, &s[0], &a[0], 0x41 | extra_flag, &h[1],
+                             rg_id));
+        PH(S, 4, mem_reg2sam(f, S, &s[1], &a[1], 0x81 | extra_flag, &h[0],
+                             rg_id));
         aln_destroy(&h[0]);
         aln_destroy(&h[1]);
         return n;
@@ -1766,6 +1807,7 @@ EXPORT int fin_batch(void *ctx, int mode, int64_t n_reads,
                      char **out_blob, int64_t *out_offsets) {
     fin_t *f = (fin_t *)ctx;
     g_oom = 0;
+    double t_batch = now_s();
     scr_t S;
     memset(&S, 0, sizeof S);
     ks_t *sams = (ks_t *)calloc((size_t)n_reads, sizeof(ks_t));
@@ -1849,6 +1891,12 @@ EXPORT int fin_batch(void *ctx, int mode, int64_t n_reads,
     }
     for (int64_t i = 0; i < n_reads; ++i) ks_free(&sams[i]);
     free(sams);
+    if (mode == 1) { /* flush the PE phase profile (fin_pe_stats) */
+        S.ph[5] = now_s() - t_batch;
+        pthread_mutex_lock(&pe_mu);
+        for (int i = 0; i < 6; ++i) pe_ph_g[i] += S.ph[i];
+        pthread_mutex_unlock(&pe_mu);
+    }
     scr_destroy(&S);
     return rc;
 }

@@ -148,10 +148,87 @@ def build_occ16(bwt_arr):
     return jax.device_put(np.ascontiguousarray(fused))
 
 
+def build_o2(bwt_arr):
+    """Derived O2 table: one (2,) int32 row PER (16-base sub-block, base) —
+    row[sb*4 + c] = [occ_c(sb), packed_word(sb)] — so a SINGLE-base rank
+    query is one 2-word row gather with the base folded into the INDEX.
+
+    Measured on this hardware (/tmp/gbench.log): XLA row gathers from a
+    (n, 2) table cost 4.5 ns/index vs 11 ns for the (n16, 8) OCC16 rows —
+    and the backward round (bwt_extend with x[1] frozen, bwt.c:262-275)
+    needs exactly [occ_c, word] per position, so the O2 round is ~2.4x
+    cheaper on its dominant cost. Same 2 B/base HBM footprint as OCC16
+    (the word is stored 4x, the counts 1x — OCC16 stores counts 4x via
+    padding). Valid for both position dtypes (counts are int32 up to
+    ~8.6 Gbp of one base, guarded in DeviceFMIndex.__init__; the gather
+    index sb*4+c < 2^31 for every supported genome)."""
+    n_blocks = len(bwt_arr) // 16
+    blocks = np.ascontiguousarray(bwt_arr[: n_blocks * 16]).reshape(
+        n_blocks, 16)
+    occ = blocks[:, :8].copy().view(np.uint64).astype(np.int64)  # (nb, 4)
+    words = np.ascontiguousarray(blocks[:, 8:])  # (nb, 8) uint32
+
+    def popcnt_pairs(m):
+        x = (m & 0x33333333) + ((m >> 2) & 0x33333333)
+        x = (x + (x >> 4)) & 0x0F0F0F0F
+        return (((x * 0x01010101) >> 24) & 0xFF).astype(np.int64)
+
+    w = words.astype(np.uint32)
+    nw = ~w
+    wc = np.zeros((n_blocks, 8, 4), np.int64)
+    for c in range(4):
+        a = (w if c & 2 else nw) >> 1
+        b = w if c & 1 else nw
+        wc[:, :, c] = popcnt_pairs(a & b & np.uint32(0x55555555))
+    wcum = np.zeros((n_blocks, 8, 4), np.int64)
+    wcum[:, 1:] = np.cumsum(wc, axis=1)[:, :-1]
+    occ16 = occ[:, None, :] + wcum  # (nb, 8, 4) counts at sub-block starts
+    if occ16.max() > np.iinfo(np.int32).max:
+        raise ValueError("occ counts exceed int32")
+    n16 = n_blocks * 8
+    o2 = np.zeros((n16 * 4, 2), np.int32)
+    o2[:, 0] = occ16.reshape(n16 * 4).astype(np.int32)
+    o2[:, 1] = np.repeat(words.reshape(n16).view(np.int32), 4)
+    return jax.device_put(np.ascontiguousarray(o2))
+
+
 def _bytesum(x):
     # multiply-free SWAR byte-sum (fields <= 16, no carries)
     return ((x + (x >> 8) + (x >> 16) + (x >> 24))
             & jnp.uint32(0x3F)).astype(jnp.int32)
+
+
+def _count_prefix(word_i32, c, within):
+    """Occurrences of base c (2-D int32 array) in the first within+1
+    bases of the MSB-first packed word, incl. the bwt.c:183-184 base-0
+    pad correction — the partial-word half of _occ_c2/_occ_c16."""
+    sh = (np.int32(30) - np.int32(2) * within).astype(jnp.uint32)
+    keepmask = ~((jnp.uint32(1) << sh) - jnp.uint32(1))
+    w = lax.bitcast_convert_type(word_i32, jnp.uint32) & keepmask
+    nw = ~w
+    a = jnp.where((c & np.int32(2)) != I0, w, nw) >> 1
+    b = jnp.where((c & np.int32(1)) != I0, w, nw)
+    m = a & b & M55
+    x = (m & M33) + ((m >> 2) & M33)
+    x = (x + (x >> 4)) & M0F
+    cnt = _bytesum(x)
+    corr = jnp.where(c == I0, np.int32(15) - within, I0)
+    return cnt - corr
+
+
+def _occ_c2(o2, primary, ks, c):
+    """Rank of base c at positions ks (negative = sentinel) via the O2
+    layout: ONE (·, 2) row gather per position — the base is folded into
+    the gather index, so the 4-way count select of _occ_c16 disappears
+    too. Bit-identical to _occ_c16 / bwt_occ (bwt.c:98-130)."""
+    sent = ks < I0
+    k = jnp.where(sent, jnp.zeros_like(ks), ks)
+    k = k - (k >= primary).astype(k.dtype)
+    sb = (k >> 4).astype(jnp.int32)
+    within = (k & np.int32(15)).astype(jnp.int32)
+    row = o2[(sb << 2) + c]  # (..., 2) int32
+    out = row[..., 0] + _count_prefix(row[..., 1], c, within)
+    return jnp.where(sent, I0, out)
 
 
 def _occ_c16(f16, primary, ks, c):
@@ -196,11 +273,14 @@ def _occ_c16(f16, primary, ks, c):
 # ---------------------------------------------------------------------------
 
 
-def _round8(f16, l2sel, primary, qflat, Ln, NL, st):
-    """One backward round — 5 latency-bound ops total (both occ positions
-    ride ONE gather pair via a (8, 2W) index array; fp and last_start are
-    interleaved in one (2NL,) array so their gather and their scatter-min
-    each merge into one op). State:
+def _round8(o2, l2sel, primary, qflat, Ln, NL, st):
+    """One backward round — 5 latency-bound ops total. Gathers ride the
+    measured-cheapest forms on this hardware (/tmp/gbench*.log): both occ
+    positions in ONE O2 row-gather pair over a (8, 2W) index array
+    (4.5 ns/index vs 11 for the OCC16 rows), and the per-lane fp/last_start
+    state as (NL, 2) ROW gathers (2.6 ns vs 14.4 for the flat 2-index
+    form); the combined scatter-min stays in the flat (2NL,) form (13.7 ns
+    vs 15.2 row). State:
     (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e — per-entry (8, W);
      fpls — per-lane (2NL,): fpls[2l] = fp slot, fpls[2l+1] = last_start;
      emitted, em_start — per-entry (8, W))."""
@@ -216,11 +296,11 @@ def _round8(f16, l2sel, primary, qflat, Ln, NL, st):
     c = jnp.minimum(qi, np.int32(3))
     has_c = valid & (qi < np.int32(4))
 
-    # bwt_occ at k-1 and k-1+s in one gather pair over (8, 2W)
+    # bwt_occ at k-1 and k-1+s in one O2 row-gather pair over (8, 2W)
     kq = ik0 - I1
     ks2 = jnp.concatenate([kq, kq + ik2], axis=1)
     c2 = jnp.concatenate([c, c], axis=1)
-    t2 = _occ_c16(f16, primary, ks2, c2)
+    t2 = _occ_c2(o2, primary, ks2, c2)
     tk = t2[:, :W]
     tl = t2[:, W:]
     s2 = tl - tk
@@ -229,10 +309,12 @@ def _round8(f16, l2sel, primary, qflat, Ln, NL, st):
     liveb = live != I0
     keeper = liveb & has_c & (s2 >= minv_e)
 
-    # per-lane state in one gather: fp slot + last_start
-    fl = fpls[jnp.concatenate([lane2d << 1, (lane2d << 1) | I1], axis=1)]
-    fp_l = fl[:, :W]
-    last_l = fl[:, W:]
+    # per-lane state in one (NL, 2) ROW gather: [fp slot, last_start]
+    # (the reshape is layout-free; row gathers measured 5.5x cheaper than
+    # the flat two-index form)
+    fl = fpls.reshape(NL, 2)[lane2d]  # (8, W, 2)
+    fp_l = fl[..., 0]
+    last_l = fl[..., 1]
 
     # emission: the lane's first live entry fails and is not contained
     # (bwt.c:329-337)
@@ -406,7 +488,7 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     speculative pull (typical row yield is ~0.1/lane, so a generous
     estimate still moves ~25 B/lane); only an underestimate pays a second
     pull for the full prefix."""
-    tables = fm.occ16_tables()
+    tables = fm.o2_tables()
     NL, L = int(qrows_dev.shape[0]), int(qrows_dev.shape[1])
     ik_d, info_d, lane_d, live_d = entry_dev
     E = int(ik_d.shape[0])

@@ -47,8 +47,18 @@ class DeviceFMIndex:
             # OCC16 layout; no supported index reaches this
             raise ValueError("occ counts exceed int32; unsupported genome size")
         put = (lambda a: jax.device_put(a, device)) if device else jax.device_put
-        self.occ = put(occ.astype(np.int32))  # (n_blocks, 4)
-        self.data = put(np.ascontiguousarray(blocks[:, 8:]))  # (n_blocks, 8) u32
+        self._put = put
+        # The original interleaved occ+data blocks are NOT device-put here:
+        # the default engines (v8 backward, OCC16 rank, OCC16 SA walk,
+        # forward automaton) run entirely off the derived OCC16 table, so
+        # these ~0.375 B/base are pure HBM redundancy at GRCh38 scale
+        # (~2.3 GB of the 16 GB budget). They materialize lazily on first
+        # use — the exact fallback engines (occ4/occ4_cols) and the opt-in
+        # MPIBWA_OCC=occ4 / MPIBWA_PALLAS paths.
+        self._host_occ = occ.astype(np.int32)  # (n_blocks, 4)
+        self._host_data = np.ascontiguousarray(blocks[:, 8:])  # (nb, 8) u32
+        self._occ = None
+        self._data = None
         self.primary = int(idx.primary)
         self.seq_len = int(idx.seq_len)
         self.sa_intv = int(idx.sa_intv)
@@ -74,15 +84,47 @@ class DeviceFMIndex:
         # eagerly so they survive pytree flattening into jitted callees
         # (extend/forward_pass take fm as an argument); valid for BOTH
         # position dtypes (counts are int32 regardless)
-        from mpibwa_tpu.ops.backward8 import build_occ16
+        from mpibwa_tpu.ops.backward8 import build_o2, build_occ16
 
         f16 = build_occ16(idx.bwt)
         if device:
             f16 = jax.device_put(f16, device)
         self._occ16 = f16
+        # O2 layout (n16*4, 2): [occ_c, word] with the base folded into
+        # the gather index — the v8 backward round and the known-base
+        # forward extension ride this (4.5 ns/row-gather vs 11 for OCC16)
+        o2 = build_o2(idx.bwt)
+        if device:
+            o2 = jax.device_put(o2, device)
+        self._o2 = o2
         # sa_lookup dispatches to the jitted OCC16 walk itself (the
         # pytree-jitted wrapper would lose the derived tables)
         self.sa_lookup_jit = lambda ks: self.sa_lookup(ks)
+
+    @property
+    def occ(self):
+        """(n_blocks, 4) int32 cumulative counts — lazy device residency
+        (see __init__); raises if this is a traced/unflattened object that
+        was flattened before materialization (callers touch the property
+        host-side first)."""
+        if self._occ is None:
+            if getattr(self, "_host_occ", None) is None:
+                raise RuntimeError(
+                    "occ blocks not materialized before tracing; touch "
+                    "fm.occ host-side before the jitted call")
+            self._occ = self._put(self._host_occ)
+        return self._occ
+
+    @property
+    def data(self):
+        """(n_blocks, 8) uint32 packed BWT words — lazy, as with occ."""
+        if self._data is None:
+            if getattr(self, "_host_data", None) is None:
+                raise RuntimeError(
+                    "data blocks not materialized before tracing; touch "
+                    "fm.data host-side before the jitted call")
+            self._data = self._put(self._host_data)
+        return self._data
 
     def occ16_tables(self):
         """Fused OCC16 table (v8 backward, occ4_16, SA walk): one (n16, 8)
@@ -94,6 +136,16 @@ class DeviceFMIndex:
 
             self._occ16 = build_occ16(self._host_bwt)
         return self._occ16
+
+    def o2_tables(self):
+        """O2 table (v8 backward, known-base forward): one (2,) int32 row
+        [occ_c, packed_word] per (16-base sub-block, base) — a single-base
+        rank is ONE cheap row gather (build_o2, backward8.py)."""
+        if getattr(self, "_o2", None) is None:
+            from mpibwa_tpu.ops.backward8 import build_o2
+
+            self._o2 = build_o2(self._host_bwt)
+        return self._o2
 
     def fused_blocks(self) -> jnp.ndarray:
         """(n_blocks, 12) int32 fused occ+data rows: one gather serves both
@@ -144,13 +196,24 @@ class DeviceFMIndex:
         out = (jnp.transpose(self.occ[blk]) + cnt).astype(self.idt)
         return jnp.where(sent[None, :], jnp.asarray(0, self.idt), out)
 
+    def occ4_cols16(self, ks: jnp.ndarray) -> jnp.ndarray:
+        """occ4_cols through the OCC16 layout: ONE row gather per position
+        (vs occ4_cols' 8-word block scan over the original tables) then a
+        transpose to the (4, E) column contract. Bit-identical counts."""
+        return jnp.transpose(self.occ4_16(ks))
+
     def extend_back1(self, k, l, s, c):
         """Backward-extend (E,) intervals by per-entry base c (0..3);
         single-char analog of extend(is_back=1) (bwt_extend, bwt.c:262-275)
-        in column layout. Garbage c for masked entries is harmless."""
+        in column layout. Garbage c for masked entries is harmless.
+        Rank rides OCC16 when built (always, in __init__-constructed
+        indexes) so the exact flat engine never touches the original
+        occ/data blocks — they stay host-side (see __init__)."""
+        cols = (self.occ4_cols16 if getattr(self, "_occ16", None) is not None
+                else self.occ4_cols)
         kq = k - 1
-        tk = self.occ4_cols(kq)  # (4, E)
-        tl = self.occ4_cols(kq + s)
+        tk = cols(kq)  # (4, E)
+        tl = cols(kq + s)
         x2 = tl - tk
         add = ((k <= self.primary)
                & (k + s - 1 >= self.primary)).astype(self.idt)
@@ -313,6 +376,68 @@ class DeviceFMIndex:
         parts[2] = okx2
         return jnp.stack(parts, axis=-1)
 
+    def extend1_fwd(self, ik0, ik1, ik2, cb):
+        """Forward-extend intervals (ik0, ik1, ik2) by per-entry COMPLEMENT
+        base cb (the bwt_extend is_back=0 row actually consumed — callers
+        pass cb = 3 - q[i]); returns (ik0', ik1', ik2'). Exactly
+        ok[cb] of extend(ik, 0) (bwt_extend, bwt.c:262-275), but computes
+        ONLY the chosen row: the cascade term x[0]' - x[0] - adj =
+        sum_{b>cb} (tl_b - tk_b) = G_{cb+1}(lq) - G_{cb+1}(kq) with
+        G_c(k) = sum_{b>=c} occ_b(k), and G falls out of the identity
+        sum_b occ_b(k) = k+1 (shifted coords) with at most ONE extra
+        single-base rank: G_1 = k+1 - occ_0, G_2 = k+1 - occ_0 - occ_1,
+        G_3 = occ_3, G_4 = 0. So one 4-wide O2 row gather replaces
+        extend()'s two 8-word OCC16 rows AND the (…, 4, 3) select
+        machinery. Shape-generic; positions may be int64 (the identity
+        arithmetic rides the index dtype, never int32 counts)."""
+        from mpibwa_tpu.ops.backward8 import _count_prefix
+
+        o2 = self.o2_tables()
+        idt = self.idt
+        I0_ = jnp.asarray(0, idt)
+        kq = ik1 - 1
+        lq = kq + ik2
+        # extra base whose rank completes G_{cb+1}: occ_0 for cb==1,
+        # occ_3 for cb==2; cb==0/3 need none (gather a dummy, masked off)
+        eb = jnp.where(cb == 1, np.int32(0), np.int32(3))
+        W = kq.shape[-1]
+        ks4 = jnp.concatenate([kq, lq, kq, lq], axis=-1)
+        c4 = jnp.concatenate([cb, cb, eb, eb], axis=-1)
+        sent = ks4 < I0_
+        k = jnp.where(sent, I0_, ks4)
+        k = k - (k >= self.primary).astype(k.dtype)
+        sb = (k >> 4).astype(jnp.int32)
+        within = (k & np.int32(15)).astype(jnp.int32)
+        row = o2[(sb << 2) + c4]  # (..., 4W, 2) int32
+        occ4w = jnp.where(sent, np.int32(0),
+                          row[..., 0] + _count_prefix(row[..., 1], c4,
+                                                      within))
+        # chars <= position in shifted coords (0 at the sentinel)
+        tot4w = jnp.where(sent, I0_, (k + 1).astype(idt))
+        tkc = occ4w[..., :W]
+        tlc = occ4w[..., W : 2 * W]
+        ek = occ4w[..., 2 * W : 3 * W].astype(idt)
+        el = occ4w[..., 3 * W :].astype(idt)
+        totk = tot4w[..., :W]
+        totl = tot4w[..., W : 2 * W]
+
+        def g_term(tot, occ_c, occ_e):
+            # G_{cb+1}(pos) by cb: 0 -> tot-occ_0(=occ_c); 1 -> tot-occ_0
+            # (=occ_e)-occ_1(=occ_c); 2 -> occ_3(=occ_e); 3 -> 0
+            return jnp.where(
+                cb == 0, tot - occ_c,
+                jnp.where(cb == 1, tot - occ_e - occ_c,
+                          jnp.where(cb == 2, occ_e, I0_)))
+
+        gk = g_term(totk, tkc.astype(idt), ek)
+        gl = g_term(totl, tlc.astype(idt), el)
+        s2 = (tlc - tkc).astype(idt)
+        k1n = self.L2[jnp.clip(cb, 0, 3)] + 1 + tkc.astype(idt)
+        add = ((ik1 <= self.primary)
+               & (ik1 + ik2 - 1 >= self.primary)).astype(idt)
+        k0n = ik0 + add + (gl - gk)
+        return k0n, k1n, s2
+
     # -- batched set_intv ----------------------------------------------------
 
     def set_intv(self, c: jnp.ndarray) -> jnp.ndarray:
@@ -378,6 +503,10 @@ class DeviceFMIndex:
 # Register as a pytree: the index arrays trace as ARGUMENTS, not as HLO
 # constants — otherwise every kernel compile embeds megabytes of index data
 # and the persistent compilation cache becomes index-specific.
+_EMPTY_OCC = None
+_EMPTY_DATA = None
+
+
 def _dfm_flatten(fm: DeviceFMIndex):
     f16 = getattr(fm, "_occ16", None)
     if f16 is None:
@@ -385,17 +514,40 @@ def _dfm_flatten(fm: DeviceFMIndex):
         has16 = False
     else:
         has16 = True
-    leaves = (fm.occ, fm.data, fm.L2, fm.sa, fm.pac, f16)
+    o2 = getattr(fm, "_o2", None)
+    if o2 is None:
+        o2 = jnp.zeros((0, 2), jnp.int32)
+        has_o2 = False
+    else:
+        has_o2 = True
+    # un-materialized occ/data ride as cached 0-size placeholders (the
+    # default engines never touch them; materialization is host-side lazy)
+    global _EMPTY_OCC, _EMPTY_DATA
+    occ, data = fm._occ, fm._data
+    if occ is None:
+        if _EMPTY_OCC is None:
+            _EMPTY_OCC = jnp.zeros((0, 4), jnp.int32)
+        occ = _EMPTY_OCC
+    if data is None:
+        if _EMPTY_DATA is None:
+            _EMPTY_DATA = jnp.zeros((0, 8), jnp.uint32)
+        data = _EMPTY_DATA
+    leaves = (occ, data, fm.L2, fm.sa, fm.pac, f16, o2)
     aux = (fm.primary, fm.seq_len, fm.sa_intv, fm.l_pac,
-           "i32" if fm.np_idt == np.int32 else "i64", has16)
+           "i32" if fm.np_idt == np.int32 else "i64", has16, has_o2,
+           fm._occ is not None, fm._data is not None)
     return leaves, aux
 
 
 def _dfm_unflatten(aux, leaves):
     obj = object.__new__(DeviceFMIndex)
-    (obj.occ, obj.data, obj.L2, obj.sa, obj.pac, f16) = leaves
-    obj.primary, obj.seq_len, obj.sa_intv, obj.l_pac, idt, has16 = aux
+    (occ, data, obj.L2, obj.sa, obj.pac, f16, o2) = leaves
+    (obj.primary, obj.seq_len, obj.sa_intv, obj.l_pac, idt, has16, has_o2,
+     has_occ, has_data) = aux
+    obj._occ = occ if has_occ else None
+    obj._data = data if has_data else None
     obj._occ16 = f16 if has16 else None
+    obj._o2 = o2 if has_o2 else None
     if idt == "i32":
         obj.idt, obj.np_idt = jnp.int32, np.int32
     else:

@@ -200,14 +200,13 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         qi = qat(i)
         amb_i = ext & ~at_end & (qi > 3)
         do_ext = ext & ~at_end & ~amb_i
-        ik = jnp.stack([st["ik0"], st["ik1"], st["ik2"]], axis=-1)
-        ok = fm.extend(ik, 0)  # (8, W, 4, 3)
-        c = (3 - jnp.clip(qi, 0, 3)).astype(jnp.int32)
-        okc = ok[..., 3, :]
-        for cc in (2, 1, 0):
-            okc = jnp.where((c == cc)[..., None], ok[..., cc, :], okc)
-        changed = okc[..., 2] != st["ik2"]
-        too_small = okc[..., 2] < minv2
+        # known-base extension: ONLY the consumed bwt_extend row
+        # (extend1_fwd) — one 4-wide O2 row gather per step instead of
+        # extend()'s two 8-word OCC16 rows + the (…, 4, 3) select
+        cb = (3 - jnp.clip(qi, 0, 3)).astype(jnp.int32)
+        nk0, nk1, ns = fm.extend1_fwd(st["ik0"], st["ik1"], st["ik2"], cb)
+        changed = ns != st["ik2"]
+        too_small = ns < minv2
         # pushes: end-of-read, ambiguous, or size change
         push_now = at_end | amb_i | (do_ext & changed)
         st = push(st, push_now)
@@ -216,9 +215,9 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         st = end_call(st, term)
         # advance for continuing lanes
         go_on = do_ext & ~(changed & too_small)
-        st["ik0"] = jnp.where(go_on, okc[..., 0], st["ik0"])
-        st["ik1"] = jnp.where(go_on, okc[..., 1], st["ik1"])
-        st["ik2"] = jnp.where(go_on, okc[..., 2], st["ik2"])
+        st["ik0"] = jnp.where(go_on, nk0, st["ik0"])
+        st["ik1"] = jnp.where(go_on, nk1, st["ik1"])
+        st["ik2"] = jnp.where(go_on, ns, st["ik2"])
         st["info"] = jnp.where(go_on, i + 1, st["info"])
         st["i"] = jnp.where(go_on, i + 1, st["i"])
         return st
@@ -452,9 +451,10 @@ def pass3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         qi = qat(i)
         amb_i = ext & ~end_of_read & (qi > 3)  # return i+1 -> next x
         do = ext & ~end_of_read & ~amb_i
-        ok = fm.extend(st["ik"], 0)
         c = (3 - jnp.clip(qi, 0, 3)).astype(jnp.int32)
-        okc = ok[rows, c, :]
+        nk0, nk1, ns = fm.extend1_fwd(st["ik"][:, 0], st["ik"][:, 1],
+                                      st["ik"][:, 2], c)
+        okc = jnp.stack([nk0, nk1, ns], axis=-1)
         hit = do & (okc[:, 2] < max_intv) & ((i - st["x"]) >= min_seed_len)
         # emit seed when hit & size > 0
         emit = hit & (okc[:, 2] > 0)
