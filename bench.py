@@ -164,7 +164,7 @@ def roofline(idx, dfm):
     from mpibwa_tpu.ops import backward8 as B8
 
     out = {}
-    f16 = dfm.occ16_tables()
+    o2 = dfm.o2_tables()
     seq_len = dfm.np_idt(dfm.seq_len)
     primary = dfm.np_idt(dfm.primary)
 
@@ -175,10 +175,10 @@ def roofline(idx, dfm):
     R = 64
 
     @jax.jit
-    def rank_rounds(f16, ks):
+    def rank_rounds(o2, ks):
         def body(i, ks):
             c = (ks & 3).astype(jnp.int32)
-            t = B8._occ_c16(f16, primary, ks, c)
+            t = B8._occ_c2(o2, primary, ks, c)
             return (ks * 5 + t.astype(ks.dtype) + 1) % seq_len
 
         return jax.lax.fori_loop(0, R, body, ks)
@@ -186,11 +186,11 @@ def roofline(idx, dfm):
     rng = np.random.default_rng(3)
     ks0 = jnp.asarray(
         rng.integers(0, int(seq_len), (8, W)).astype(dfm.np_idt))
-    rank_rounds(f16, ks0).block_until_ready()  # compile
+    rank_rounds(o2, ks0).block_until_ready()  # compile
     t0 = time.time()
     reps = 3
     for _ in range(reps):
-        rank_rounds(f16, ks0).block_until_ready()
+        rank_rounds(o2, ks0).block_until_ready()
     dt = (time.time() - t0) / reps
     out["rank_queries_per_sec"] = round(8 * W * R / dt, 0)
     out["rank_round_us"] = round(dt / R * 1e6, 1)
@@ -424,6 +424,29 @@ def main():
             rf = {"error": repr(e)[:200]}
         print(f"[bench] roofline: {rf}", file=sys.stderr)
 
+    # device-resident index bytes (measured) + the same layout projected
+    # to doubled GRCh38 (seq_len 6.2e9, int64 SA sample) vs the 16 GB v5e
+    # HBM — the budget half of BASELINE config 3; the on-chip existence
+    # proof is tests/test_genome_huge.py's TPU-backend identity slice
+    hbm = {}
+    try:
+        comp = {
+            "o2": int(np.asarray(dfm.o2_tables()).nbytes),
+            "sa": int(np.asarray(dfm.sa).nbytes),
+            "pac": int(np.asarray(dfm.pac).nbytes),
+        }
+        hbm["index_bytes"] = sum(comp.values())
+        hbm["per_component"] = comp
+        hbm["bytes_per_base"] = round(hbm["index_bytes"] / dfm.seq_len, 3)
+        G_SEQ = 6_199_845_082  # 2 * GRCh38 l_pac
+        proj = (G_SEQ // 16) * 4 * 8 \
+            + (G_SEQ // dfm.sa_intv + 1) * 8 + (G_SEQ // 2 + 3) // 4
+        hbm["grch38_projection_bytes"] = int(proj)
+        hbm["grch38_fits_16gb"] = bool(proj < 16 * (1 << 30))
+    except Exception as e:  # report, never fail the bench
+        hbm = {"error": repr(e)[:200]}
+    print(f"[bench] hbm: {hbm}", file=sys.stderr)
+
     ok = all(identity.values())
     headline = pe_rps if only != "se" else se_rps
     print(json.dumps({
@@ -445,6 +468,7 @@ def main():
         "identity": identity,
         "stages_s": stages,
         "roofline": rf,
+        "hbm": hbm,
     }))
 
 

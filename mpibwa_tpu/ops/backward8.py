@@ -30,12 +30,12 @@ sizes non-decreasing in slot order, which bwt_extend preserves):
    base (bwt_extend's x[1] cascade is the only consumer of the other
    three counts).
 
-The FM-index is queried through a derived OCC16 layout (one fused
-(n16, 8) int32 row per 16-base sub-block: 4 cumulative counts + the
-packed data word) so a rank query is ONE row gather + a dozen fused SWAR
-ops (multiply-free popcount). The layout is built once from the
-bwa-format index and is output-invariant; positions may be int64
-(GRCh38-scale) while counts/gather indices stay int32.
+The FM-index is queried through a derived O2 layout (one (2,) int32 row
+[occ_c, packed_word] per 16-base sub-block AND base, the base folded
+into the gather index) so a rank query is ONE cheap 2-word row gather +
+a dozen fused SWAR ops (multiply-free popcount). The layout is built
+once from the bwa-format index and is output-invariant; positions may
+be int64 (GRCh38-scale) while counts/gather indices stay int32.
 
 Capacity follows a LEARNED shrink schedule: the first run of a shape
 adapts (one 4-byte live-count sync per segment), records the capacity
@@ -105,47 +105,6 @@ def cap_bucket(n: int, floor: int = MIN_CAP) -> int:
             return c + (c >> 1)
         c <<= 1
     return c
-
-
-def build_occ16(bwt_arr):
-    """Derived OCC16 table from the bwa interleaved bwt array: ONE fused
-    (n16, 8) int32 row per 16-base sub-block — [occ0, occ1, occ2, occ3,
-    packed_word, 0, 0, 0] — so a rank query is a single row gather.
-
-    TPU gather cost is per-INDEX, not per-element (measured 16.2 ns/query
-    for the split count+word tables vs 3.9 ns fused), and the occ gathers
-    dominate every backward round. The padding to 8 keeps rows on a 32-byte
-    boundary. Costs 2 bytes/base of HBM vs 1.25 for the split layout.
-    Counts equal bwt_occ4's (the sampling interval is invisible)."""
-    n_blocks = len(bwt_arr) // 16
-    blocks = np.ascontiguousarray(bwt_arr[: n_blocks * 16]).reshape(
-        n_blocks, 16)
-    occ = blocks[:, :8].copy().view(np.uint64).astype(np.int64)  # (nb, 4)
-    words = np.ascontiguousarray(blocks[:, 8:])  # (nb, 8) uint32
-
-    def popcnt_pairs(m):
-        x = (m & 0x33333333) + ((m >> 2) & 0x33333333)
-        x = (x + (x >> 4)) & 0x0F0F0F0F
-        return (((x * 0x01010101) >> 24) & 0xFF).astype(np.int64)
-
-    w = words.astype(np.uint32)
-    nw = ~w
-    wc = np.zeros((n_blocks, 8, 4), np.int64)
-    for c in range(4):
-        a = (w if c & 2 else nw) >> 1
-        b = w if c & 1 else nw
-        wc[:, :, c] = popcnt_pairs(a & b & np.uint32(0x55555555))
-    # cumulative before each word within its block (exclusive)
-    wcum = np.zeros((n_blocks, 8, 4), np.int64)
-    wcum[:, 1:] = np.cumsum(wc, axis=1)[:, :-1]
-    occ16 = occ[:, None, :] + wcum  # (nb, 8, 4)
-    if occ16.max() > np.iinfo(np.int32).max:
-        raise ValueError("occ counts exceed int32")
-    n16 = n_blocks * 8
-    fused = np.zeros((n16, 8), np.int32)
-    fused[:, :4] = occ16.reshape(n16, 4).astype(np.int32)
-    fused[:, 4] = words.reshape(n16).view(np.int32)
-    return jax.device_put(np.ascontiguousarray(fused))
 
 
 def build_o2(bwt_arr):
@@ -231,43 +190,6 @@ def _occ_c2(o2, primary, ks, c):
     return jnp.where(sent, I0, out)
 
 
-def _occ_c16(f16, primary, ks, c):
-    """Rank of base c (2-D int32 array, one per entry) at positions ks
-    (2-D int32 OR int64, negative = sentinel): bwt_occ semantics via the
-    fused OCC16 rows (bwt.c:98-130 for one base, counting the first
-    within+1 bases of the MSB-first packed word). ONE row gather per
-    position; the per-entry count column resolves as a 4-way select
-    (fused, free). Positions may exceed int32 (doubled human genome); the
-    gather index (k>>4) and the counts always fit int32 — per-base occ is
-    bounded by the base's total count, int32 up to ~8.6 Gbp genomes — so
-    only the position arithmetic widens and the output stays int32."""
-    sent = ks < I0
-    k = jnp.where(sent, jnp.zeros_like(ks), ks)
-    k = k - (k >= primary).astype(k.dtype)
-    sb = (k >> 4).astype(jnp.int32)
-    within = (k & np.int32(15)).astype(jnp.int32)
-    row = f16[sb]  # (..., 8) int32
-    base = jnp.where(c == I0, row[..., 0],
-                     jnp.where(c == I1, row[..., 1],
-                               jnp.where(c == np.int32(2), row[..., 2],
-                                         row[..., 3])))
-    # zero the low 30 - 2*within bits => keep bases 0..within
-    sh = (np.int32(30) - np.int32(2) * within).astype(jnp.uint32)
-    keepmask = ~((jnp.uint32(1) << sh) - jnp.uint32(1))
-    w = lax.bitcast_convert_type(row[..., 4], jnp.uint32) & keepmask
-    nw = ~w
-    a = jnp.where((c & np.int32(2)) != I0, w, nw) >> 1
-    b = jnp.where((c & np.int32(1)) != I0, w, nw)
-    m = a & b & M55
-    x = (m & M33) + ((m >> 2) & M33)
-    x = (x + (x >> 4)) & M0F
-    cnt = _bytesum(x)
-    # masked-off pad region counts as base 0 (bwt.c:183-184 analog)
-    corr = jnp.where(c == I0, np.int32(15) - within, I0)
-    out = base + cnt - corr
-    return jnp.where(sent, I0, out)
-
-
 # ---------------------------------------------------------------------------
 # round body
 # ---------------------------------------------------------------------------
@@ -344,8 +266,8 @@ def _round8(o2, l2sel, primary, qflat, Ln, NL, st):
             info, lane2d, minv_e, new_fpls, new_emitted, new_em_start)
 
 
-def _mk_state_args(f16, l2sel, primary, qflat, Ln, NL):
-    return lambda st: _round8(f16, l2sel, primary, qflat, Ln, NL, st)
+def _mk_state_args(o2, l2sel, primary, qflat, Ln, NL):
+    return lambda st: _round8(o2, l2sel, primary, qflat, Ln, NL, st)
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5, 6))

@@ -79,20 +79,18 @@ class DeviceFMIndex:
         # 2-bit packed forward reference for device-side window construction
         self.pac = put(np.asarray(idx.pac))
         self.l_pac = int(idx.l_pac)
-        self._host_bwt = idx.bwt  # for derived device layouts (OCC16)
-        # OCC16 derived tables (v8 backward, OCC16 rank, SA walk): built
-        # eagerly so they survive pytree flattening into jitted callees
-        # (extend/forward_pass take fm as an argument); valid for BOTH
-        # position dtypes (counts are int32 regardless)
-        from mpibwa_tpu.ops.backward8 import build_o2, build_occ16
+        self._host_bwt = idx.bwt  # for derived device layouts (O2)
+        # O2 derived table — the ONLY device-resident FM layout (2 B/base;
+        # a second table would push a doubled GRCh38 index past the 16 GB
+        # v5e HBM): one (2,) int32 row [occ_c, word] per (16-base
+        # sub-block, base), so a single-base rank is ONE cheap row gather
+        # (4.5 ns vs 11 for an 8-word row, /tmp/gbench.log) with the base
+        # folded into the index. Built eagerly so it survives pytree
+        # flattening into jitted callees (extend/forward_pass take fm as
+        # an argument); valid for BOTH position dtypes (counts are int32
+        # for every supported genome).
+        from mpibwa_tpu.ops.backward8 import build_o2
 
-        f16 = build_occ16(idx.bwt)
-        if device:
-            f16 = jax.device_put(f16, device)
-        self._occ16 = f16
-        # O2 layout (n16*4, 2): [occ_c, word] with the base folded into
-        # the gather index — the v8 backward round and the known-base
-        # forward extension ride this (4.5 ns/row-gather vs 11 for OCC16)
         o2 = build_o2(idx.bwt)
         if device:
             o2 = jax.device_put(o2, device)
@@ -125,17 +123,6 @@ class DeviceFMIndex:
                     "fm.data host-side before the jitted call")
             self._data = self._put(self._host_data)
         return self._data
-
-    def occ16_tables(self):
-        """Fused OCC16 table (v8 backward, occ4_16, SA walk): one (n16, 8)
-        int32 row per 16-base sub-block — [occ0..occ3, packed_word, pad×3]
-        — so a rank query is a single row gather. Built in __init__ for
-        int32 indexes (pytree leaf)."""
-        if getattr(self, "_occ16", None) is None:
-            from mpibwa_tpu.ops.backward8 import build_occ16
-
-            self._occ16 = build_occ16(self._host_bwt)
-        return self._occ16
 
     def o2_tables(self):
         """O2 table (v8 backward, known-base forward): one (2,) int32 row
@@ -197,19 +184,19 @@ class DeviceFMIndex:
         return jnp.where(sent[None, :], jnp.asarray(0, self.idt), out)
 
     def occ4_cols16(self, ks: jnp.ndarray) -> jnp.ndarray:
-        """occ4_cols through the OCC16 layout: ONE row gather per position
-        (vs occ4_cols' 8-word block scan over the original tables) then a
-        transpose to the (4, E) column contract. Bit-identical counts."""
+        """occ4_cols through the O2 layout (one sub-block row gather per
+        position vs occ4_cols' 8-word block scan over the original tables)
+        then a transpose to the (4, E) column contract. Bit-identical."""
         return jnp.transpose(self.occ4_16(ks))
 
     def extend_back1(self, k, l, s, c):
         """Backward-extend (E,) intervals by per-entry base c (0..3);
         single-char analog of extend(is_back=1) (bwt_extend, bwt.c:262-275)
         in column layout. Garbage c for masked entries is harmless.
-        Rank rides OCC16 when built (always, in __init__-constructed
+        Rank rides the O2 table when built (always, in __init__-constructed
         indexes) so the exact flat engine never touches the original
         occ/data blocks — they stay host-side (see __init__)."""
-        cols = (self.occ4_cols16 if getattr(self, "_occ16", None) is not None
+        cols = (self.occ4_cols16 if getattr(self, "_o2", None) is not None
                 else self.occ4_cols)
         kq = k - 1
         tk = cols(kq)  # (4, E)
@@ -282,22 +269,26 @@ class DeviceFMIndex:
         return jnp.where(sent[..., None], jnp.asarray(0, self.idt), out)
 
     def occ4_16(self, ks: jnp.ndarray) -> jnp.ndarray:
-        """occ4 through the derived OCC16 layout (cumulative counts every 16
-        bases + one packed word): per position ONE 4-value table gather +
-        ONE word gather + multiply-free SWAR — vs occ4's 8-word block scan
-        with multiply popcounts (uint32 multiply chains are ~0.5 ms/round
-        inside a device loop on this hardware). Bit-identical to occ4."""
-        f16 = self.occ16_tables()
+        """occ4 through the O2 layout (one [occ_c, word] row per sub-block
+        and base): per position a (..., 4)-wide row gather (the 4 rows of
+        one sub-block) + multiply-free SWAR — vs occ4's 8-word block scan
+        with multiply popcounts. Bit-identical to occ4. The all-4-counts
+        engines that call this (extend(), the exact flat fallbacks) pay
+        ~1.6x the gather cost of the retired 8-word OCC16 row; keeping a
+        second table for them would double FM HBM at GRCh38 scale, and
+        the default engines never query more than one base per position."""
+        o2 = self.o2_tables()
         sent = ks < 0
         k = jnp.where(sent, 0, ks)
         k = k - (k >= self.primary)
         sb = (k >> 4).astype(jnp.int32)
         within = (k & 15).astype(jnp.int32)
-        row = f16[sb]  # (..., 8) int32
-        base = row[..., :4]
+        rows = o2[(sb[..., None] << 2)
+                  + jnp.arange(4, dtype=jnp.int32)]  # (..., 4, 2)
+        base = rows[..., 0]
         sh = (jnp.int32(30) - jnp.int32(2) * within).astype(jnp.uint32)
         keep = ~((jnp.uint32(1) << sh) - jnp.uint32(1))
-        w = jax.lax.bitcast_convert_type(row[..., 4], jnp.uint32) & keep
+        w = jax.lax.bitcast_convert_type(rows[..., 0, 1], jnp.uint32) & keep
         nw = ~w
         cnts = []
         for c in range(4):
@@ -452,17 +443,17 @@ class DeviceFMIndex:
     def sa_lookup(self, ks: jnp.ndarray) -> jnp.ndarray:
         """(N,) idt SA indices -> (N,) idt positions.
 
-        Routes through the OCC16 tables in (8, W) layout — one single-base
-        rank per inv_psi step instead of a full occ4, and 2-D-shaped ops
-        throughout (1-D elementwise is ~100x slower on this hardware).
-        Position arithmetic runs in the index dtype (int64 for GRCh38-
-        scale); gathers and counts stay int32 either way."""
-        if getattr(self, "_occ16", None) is not None:
+        Routes through the O2 table in (8, W) layout — one single-base
+        rank ROW gather per inv_psi step instead of a full occ4, and
+        2-D-shaped ops throughout (1-D elementwise is ~100x slower on this
+        hardware). Position arithmetic runs in the index dtype (int64 for
+        GRCh38-scale); gathers and counts stay int32 either way."""
+        if getattr(self, "_o2", None) is not None:
             N = int(ks.shape[0])
             Np = ((N + 7) // 8) * 8
             ks_p = jnp.zeros(Np, self.idt).at[:N].set(ks.astype(self.idt))
             out = _sa_lookup16(
-                self.occ16_tables(), self.L2.astype(self.idt),
+                self.o2_tables(), self.L2.astype(self.idt),
                 self.np_idt(self.primary), self.np_idt(self.seq_len),
                 self.sa, self.np_idt(self.sa_intv),
                 ks_p.reshape(8, Np // 8))
@@ -503,50 +494,42 @@ class DeviceFMIndex:
 # Register as a pytree: the index arrays trace as ARGUMENTS, not as HLO
 # constants — otherwise every kernel compile embeds megabytes of index data
 # and the persistent compilation cache becomes index-specific.
-_EMPTY_OCC = None
-_EMPTY_DATA = None
+# The un-materialized placeholders are NUMPY constants: flatten may run
+# inside a trace (fm crossing into an inner jit), where a jnp.zeros would
+# be a tracer and caching it would leak it out of the transform.
+_EMPTY_OCC = np.zeros((0, 4), np.int32)
+_EMPTY_DATA = np.zeros((0, 8), np.uint32)
+_EMPTY_O2 = np.zeros((0, 2), np.int32)
 
 
 def _dfm_flatten(fm: DeviceFMIndex):
-    f16 = getattr(fm, "_occ16", None)
-    if f16 is None:
-        f16 = jnp.zeros((0, 8), jnp.int32)
-        has16 = False
-    else:
-        has16 = True
     o2 = getattr(fm, "_o2", None)
     if o2 is None:
-        o2 = jnp.zeros((0, 2), jnp.int32)
+        o2 = _EMPTY_O2
         has_o2 = False
     else:
         has_o2 = True
-    # un-materialized occ/data ride as cached 0-size placeholders (the
+    # un-materialized occ/data ride as 0-size numpy placeholders (the
     # default engines never touch them; materialization is host-side lazy)
-    global _EMPTY_OCC, _EMPTY_DATA
     occ, data = fm._occ, fm._data
     if occ is None:
-        if _EMPTY_OCC is None:
-            _EMPTY_OCC = jnp.zeros((0, 4), jnp.int32)
         occ = _EMPTY_OCC
     if data is None:
-        if _EMPTY_DATA is None:
-            _EMPTY_DATA = jnp.zeros((0, 8), jnp.uint32)
         data = _EMPTY_DATA
-    leaves = (occ, data, fm.L2, fm.sa, fm.pac, f16, o2)
+    leaves = (occ, data, fm.L2, fm.sa, fm.pac, o2)
     aux = (fm.primary, fm.seq_len, fm.sa_intv, fm.l_pac,
-           "i32" if fm.np_idt == np.int32 else "i64", has16, has_o2,
+           "i32" if fm.np_idt == np.int32 else "i64", has_o2,
            fm._occ is not None, fm._data is not None)
     return leaves, aux
 
 
 def _dfm_unflatten(aux, leaves):
     obj = object.__new__(DeviceFMIndex)
-    (occ, data, obj.L2, obj.sa, obj.pac, f16, o2) = leaves
-    (obj.primary, obj.seq_len, obj.sa_intv, obj.l_pac, idt, has16, has_o2,
+    (occ, data, obj.L2, obj.sa, obj.pac, o2) = leaves
+    (obj.primary, obj.seq_len, obj.sa_intv, obj.l_pac, idt, has_o2,
      has_occ, has_data) = aux
     obj._occ = occ if has_occ else None
     obj._data = data if has_data else None
-    obj._occ16 = f16 if has16 else None
     obj._o2 = o2 if has_o2 else None
     if idt == "i32":
         obj.idt, obj.np_idt = jnp.int32, np.int32
@@ -561,28 +544,28 @@ jax.tree_util.register_pytree_node(DeviceFMIndex, _dfm_flatten, _dfm_unflatten)
 
 @jax.jit
 def _sa_lookup16(tables, l2, primary, seq_len, sa, sa_intv, ks2d):
-    """bwt_sa walk (bwt.c:86-96) in (8, W) layout via OCC16: per step one
-    fused-row gather for the BWT base + one single-base rank (_occ_c16).
-    Dtype-generic: positions (ks2d/l2/primary/seq_len/sa) in int32 or
-    int64; gathers and rank counts stay int32 either way."""
-    from mpibwa_tpu.ops.backward8 import _occ_c16
+    """bwt_sa walk (bwt.c:86-96) in (8, W) layout via the O2 table: per
+    step one row gather for the BWT base word + one single-base rank row
+    gather (_occ_c2). Dtype-generic: positions (ks2d/l2/primary/seq_len/
+    sa) in int32 or int64; gathers and rank counts stay int32 either way."""
+    from mpibwa_tpu.ops.backward8 import _occ_c2
 
-    f16 = tables
+    o2 = tables
     idt = ks2d.dtype
     mask = sa_intv - 1  # sa_intv is a power of two; np scalar of idt
     I0 = np.int32(0)
 
-    def bwt_b0_16(x):
+    def bwt_b0_o2(x):
         word = jax.lax.bitcast_convert_type(
-            f16[(x >> 4).astype(jnp.int32), 4], jnp.uint32)
+            o2[(x >> 4).astype(jnp.int32) << 2][..., 1], jnp.uint32)
         sh = ((~x).astype(jnp.int32) & np.int32(15)) << 1
         return ((word >> sh.astype(jnp.uint32))
                 & jnp.uint32(3)).astype(jnp.int32)
 
     def inv_psi(k):
         x = k - (k > primary).astype(idt)
-        c = bwt_b0_16(x)
-        occc = _occ_c16(f16, primary, k, c)
+        c = bwt_b0_o2(x)
+        occc = _occ_c2(o2, primary, k, c)
         at_end = k == seq_len
         occc = jnp.where(at_end, (l2[c + 1] - l2[c]).astype(jnp.int32),
                          occc)

@@ -22,7 +22,7 @@ def huge_prefix(tmp_path_factory):
     """A synthetic genome whose doubled sequence crosses 2^31 positions
     (l_pac = 2^30 + 256 bases -> seq_len = 2^31 + 512), the smallest
     scale that forces the int64 position path end to end: 64-bit SA-IS
-    (native/sais.c), int64 DeviceFMIndex, wide v8 backward + OCC16 rank +
+    (native/sais.c), int64 DeviceFMIndex, wide v8 backward + O2 rank +
     SA walk. The reference's equivalent scale evidence is the 352-rank
     WGS run against full human (/root/reference/CHANGELOG:228-233)."""
     from mpibwa_tpu.index.build import build_index
@@ -98,3 +98,20 @@ def test_genome2g_int64_identity_vs_oracle(huge_prefix, tmp_path,
     al.process_seqs(reads, 0)
     got = "".join(s.sam for s in reads)
     assert got == want
+
+    # -- the same slice ON THE REAL TPU (conftest pins this process to the
+    # CPU backend, so the hardware half runs as a subprocess with a clean
+    # JAX env): int64 index in HBM, default engines, byte-identity
+    want_f = tmp_path / "want.sam"
+    want_f.write_text(want)
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    r = subprocess.run(
+        ["python", os.path.join(repo, "tests", "hw_huge_identity.py"),
+         huge_prefix, fq, str(want_f)],
+        capture_output=True, text=True, env=env, cwd=repo)
+    sys_err = r.stderr[-2000:]
+    if r.returncode == 77:
+        pytest.skip("no TPU backend for the hardware slice: " + sys_err)
+    assert r.returncode == 0, sys_err
