@@ -607,11 +607,324 @@ static int gen_cigar(const fin_t *f, scr_t *S, const uint8_t *query_in,
 
 typedef struct { int score, te, qe, qb, tb, score2, te2; } kswr_t;
 
+#if defined(__SSE2__)
+/* SSE2 16/8-lane implementations of the SAME spec (core/extend.py
+ * _ksw_striped; transcribed from this repo's Python modules, not from any
+ * external source). Farrar-striped query layout: logical cell j lives in
+ * stripe s = j %% slen, lane l = j / slen (byte s*p + l), so the diagonal
+ * H(i-1, j-1) is stripe s-1 (s=0: last stripe lane-shifted by one, zero
+ * into lane 0).
+ *
+ * The spec defines F in CLOSED FORM — F[j] = scan[j-1] with
+ * scan[j] = max_{k<=j}(max(Hnf[k]-oe_ins,0) - (j-k)*e_ins) over the
+ * PRE-F row Hnf (provably equal to the sequential F recurrence because
+ * o_ins >= 0) — so instead of the classic data-dependent lazy-F loop this
+ * kernel computes the scan directly: one vectorized per-lane sweep over
+ * stripes (consecutive j within a lane ARE consecutive stripes), a
+ * p-element scalar carry chain across lanes, and one application sweep
+ * that also writes final H and E (E derives from FINAL H per the spec).
+ * Deterministic two-pass rows, bit-identical to the scalar emulation
+ * (differentially tested in tests/test_native_final.py; MPIBWA_SSW=scalar
+ * forces the scalar path). */
+#include <emmintrin.h>
+
+static inline int hmax_epu8_(__m128i v) {
+    v = _mm_max_epu8(v, _mm_srli_si128(v, 8));
+    v = _mm_max_epu8(v, _mm_srli_si128(v, 4));
+    v = _mm_max_epu8(v, _mm_srli_si128(v, 2));
+    v = _mm_max_epu8(v, _mm_srli_si128(v, 1));
+    return _mm_cvtsi128_si32(v) & 0xFF;
+}
+
+static inline int hmax_epi16_(__m128i v) {
+    v = _mm_max_epi16(v, _mm_srli_si128(v, 8));
+    v = _mm_max_epi16(v, _mm_srli_si128(v, 4));
+    v = _mm_max_epi16(v, _mm_srli_si128(v, 2));
+    return (int16_t)_mm_cvtsi128_si32(v);
+}
+
+static kswr_t ksw_striped_u8_sse(scr_t *S, const uint8_t *q, int qlen,
+                                 const uint8_t *t, int tlen,
+                                 const int8_t *mat, int o_del, int e_del,
+                                 int o_ins, int e_ins, int xtra) {
+    kswr_t r = {0, -1, -1, -1, -1, -1, -1};
+    const int p = 16;
+    int slen = (qlen + p - 1) / p, nlen = slen * p;
+    int minsc = (xtra & KSW_XSUBO) ? (xtra & 0xFFFF) : 0x10000;
+    int endsc = (xtra & KSW_XSTOP) ? (xtra & 0xFFFF) : 0x10000;
+    int mat_min = 127, mat_max = -128;
+    for (int i = 0; i < 25; ++i) {
+        if (mat[i] < mat_min) mat_min = mat[i];
+        if (mat[i] > mat_max) mat_max = mat[i];
+    }
+    int shift = (256 - mat_min) & 0xFF;
+    int qmax = mat_max;
+    int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    uint8_t *prof = (uint8_t *)SCR(S, prof, int16_t, (size_t)5 * nlen);
+    uint8_t *H = (uint8_t *)SCR(S, H, int32_t, nlen);
+    uint8_t *E = (uint8_t *)SCR(S, E, int32_t, nlen);
+    uint8_t *Hm = (uint8_t *)SCR(S, Hmax, int32_t, nlen);
+    uint8_t *HNF = (uint8_t *)SCR(S, eh_h, int32_t, nlen);
+    uint8_t *SC = (uint8_t *)SCR(S, eh_e, int32_t, nlen);
+    int32_t *b_s = SCR(S, b_s, int32_t, (size_t)tlen + 1);
+    int32_t *b_i = SCR(S, b_i, int32_t, (size_t)tlen + 1);
+    if (g_oom) return r;
+    for (int c = 0; c < 5; ++c)
+        for (int s = 0; s < slen; ++s)
+            for (int l = 0; l < p; ++l) {
+                int j = s + l * slen;
+                prof[c * nlen + s * p + l] =
+                    (uint8_t)((j < qlen ? mat[c * 5 + q[j]] : 0) + shift);
+            }
+    memset(H, 0, (size_t)nlen);
+    memset(E, 0, (size_t)nlen);
+    memset(Hm, 0, (size_t)nlen);
+    const __m128i z = _mm_setzero_si128();
+    const __m128i v_ei = _mm_set1_epi8((char)e_ins);
+    const __m128i v_ed = _mm_set1_epi8((char)e_del);
+    const __m128i v_oei = _mm_set1_epi8((char)oe_ins);
+    const __m128i v_oed = _mm_set1_epi8((char)oe_del);
+    const __m128i v_sh = _mm_set1_epi8((char)shift);
+    int gmax = 0, te = -1, nb = 0;
+    for (int i = 0; i < tlen; ++i) {
+        const uint8_t *sp = prof + (size_t)t[i] * nlen;
+        /* pass 1: Hnf = max(hm, E) + per-lane decay-max scan of
+         * T = max(Hnf - oe_ins, 0) */
+        __m128i hd = _mm_load_si128((const __m128i *)(H + (slen - 1) * p));
+        hd = _mm_slli_si128(hd, 1);
+        __m128i vS = z;
+        for (int s = 0; s < slen; ++s) {
+            __m128i hm = _mm_adds_epu8(
+                hd, _mm_load_si128((const __m128i *)(sp + s * p)));
+            hm = _mm_subs_epu8(hm, v_sh);
+            __m128i e = _mm_load_si128((const __m128i *)(E + s * p));
+            __m128i hnf = _mm_max_epu8(hm, e);
+            _mm_store_si128((__m128i *)(HNF + s * p), hnf);
+            vS = _mm_max_epu8(_mm_subs_epu8(vS, v_ei),
+                              _mm_subs_epu8(hnf, v_oei));
+            _mm_store_si128((__m128i *)(SC + s * p), vS);
+            hd = _mm_load_si128((const __m128i *)(H + s * p));
+        }
+        /* scalar carry chain: full-scan value at each lane's last cell */
+        uint8_t feb[16], cib[16];
+        _mm_storeu_si128((__m128i *)feb, vS);
+        {
+            int slE = slen * e_ins;
+            int prev = 0; /* full scan end of previous lane */
+            for (int l = 0; l < p; ++l) {
+                cib[l] = (uint8_t)prev; /* carry-in = scan at lane start-1 */
+                int dec = prev - slE;
+                if (dec < 0) dec = 0;
+                int fl = feb[l] > dec ? feb[l] : dec;
+                prev = fl;
+            }
+        }
+        /* pass 2: apply carries -> full scan; F[j] = full[j-1]; final H
+         * (max with F) and E from final H */
+        __m128i vC = _mm_loadu_si128((const __m128i *)cib);
+        __m128i vCd = vC, prevFull = vC, vMax = z;
+        for (int s = 0; s < slen; ++s) {
+            __m128i F = prevFull;
+            vCd = _mm_subs_epu8(vCd, v_ei);
+            __m128i full = _mm_max_epu8(
+                _mm_load_si128((const __m128i *)(SC + s * p)), vCd);
+            prevFull = full;
+            __m128i h = _mm_max_epu8(
+                _mm_load_si128((const __m128i *)(HNF + s * p)), F);
+            _mm_store_si128((__m128i *)(H + s * p), h);
+            vMax = _mm_max_epu8(vMax, h);
+            __m128i e = _mm_load_si128((const __m128i *)(E + s * p));
+            e = _mm_max_epu8(_mm_subs_epu8(e, v_ed),
+                             _mm_subs_epu8(h, v_oed));
+            _mm_store_si128((__m128i *)(E + s * p), e);
+        }
+        int imax = hmax_epu8_(vMax);
+        if (imax >= minsc) {
+            if (nb == 0 || b_i[nb - 1] + 1 != i) {
+                b_s[nb] = imax; b_i[nb] = i; ++nb;
+            } else if (b_s[nb - 1] < imax) {
+                b_s[nb - 1] = imax; b_i[nb - 1] = i;
+            }
+        }
+        if (imax > gmax) {
+            gmax = imax; te = i;
+            memcpy(Hm, H, (size_t)nlen);
+            if (gmax + shift >= 255 || gmax >= endsc) break;
+        }
+    }
+    r.score = gmax + shift < 255 ? gmax : 255;
+    r.te = te;
+    if (r.score != 255) {
+        if (nlen) {
+            int mx = 0;
+            for (int j = 0; j < nlen; ++j) if (Hm[j] > mx) mx = Hm[j];
+            for (int j = 0; j < nlen; ++j) /* first LINEAR j (spec order) */
+                if (Hm[(j % slen) * p + j / slen] == mx) { r.qe = j; break; }
+        }
+        if (nb) {
+            int ii = (r.score + qmax - 1) / qmax;
+            int low = te - ii, high = te + ii;
+            for (int k = 0; k < nb; ++k)
+                if ((b_i[k] < low || b_i[k] > high) && b_s[k] > r.score2) {
+                    r.score2 = b_s[k];
+                    r.te2 = b_i[k];
+                }
+        }
+    }
+    return r;
+}
+
+static kswr_t ksw_striped_i16_sse(scr_t *S, const uint8_t *q, int qlen,
+                                  const uint8_t *t, int tlen,
+                                  const int8_t *mat, int o_del, int e_del,
+                                  int o_ins, int e_ins, int xtra) {
+    kswr_t r = {0, -1, -1, -1, -1, -1, -1};
+    const int p = 8;
+    int slen = (qlen + p - 1) / p, nlen = slen * p;
+    int minsc = (xtra & KSW_XSUBO) ? (xtra & 0xFFFF) : 0x10000;
+    int endsc = (xtra & KSW_XSTOP) ? (xtra & 0xFFFF) : 0x10000;
+    int mat_max = -128;
+    for (int i = 0; i < 25; ++i)
+        if (mat[i] > mat_max) mat_max = mat[i];
+    int qmax = mat_max;
+    int oe_del = o_del + e_del, oe_ins = o_ins + e_ins;
+    int16_t *prof = SCR(S, prof, int16_t, (size_t)5 * nlen);
+    int16_t *H = (int16_t *)SCR(S, H, int32_t, nlen);
+    int16_t *E = (int16_t *)SCR(S, E, int32_t, nlen);
+    int16_t *Hm = (int16_t *)SCR(S, Hmax, int32_t, nlen);
+    int16_t *HNF = (int16_t *)SCR(S, eh_h, int32_t, nlen);
+    int16_t *SC = (int16_t *)SCR(S, eh_e, int32_t, nlen);
+    int32_t *b_s = SCR(S, b_s, int32_t, (size_t)tlen + 1);
+    int32_t *b_i = SCR(S, b_i, int32_t, (size_t)tlen + 1);
+    if (g_oom) return r;
+    for (int c = 0; c < 5; ++c)
+        for (int s = 0; s < slen; ++s)
+            for (int l = 0; l < p; ++l) {
+                int j = s + l * slen;
+                prof[c * nlen + s * p + l] =
+                    (int16_t)(j < qlen ? mat[c * 5 + q[j]] : 0);
+            }
+    memset(H, 0, (size_t)nlen * 2);
+    memset(E, 0, (size_t)nlen * 2);
+    memset(Hm, 0, (size_t)nlen * 2);
+    const __m128i z = _mm_setzero_si128();
+    const __m128i v_ei = _mm_set1_epi16((short)e_ins);
+    const __m128i v_ed = _mm_set1_epi16((short)e_del);
+    const __m128i v_oei = _mm_set1_epi16((short)oe_ins);
+    const __m128i v_oed = _mm_set1_epi16((short)oe_del);
+    int gmax = 0, te = -1, nb = 0;
+    for (int i = 0; i < tlen; ++i) {
+        const int16_t *sp = prof + (size_t)t[i] * nlen;
+        __m128i hd = _mm_load_si128((const __m128i *)(H + (slen - 1) * p));
+        hd = _mm_slli_si128(hd, 2);
+        __m128i vS = z;
+        for (int s = 0; s < slen; ++s) {
+            __m128i hm = _mm_adds_epi16(
+                hd, _mm_load_si128((const __m128i *)(sp + s * p)));
+            __m128i e = _mm_load_si128((const __m128i *)(E + s * p));
+            __m128i hnf = _mm_max_epi16(hm, e); /* e >= 0 -> hnf >= 0 */
+            _mm_store_si128((__m128i *)(HNF + s * p), hnf);
+            /* T = max(hnf - oe_ins, 0); scan = max(scan - e_ins, T) */
+            __m128i T = _mm_max_epi16(_mm_sub_epi16(hnf, v_oei), z);
+            vS = _mm_max_epi16(_mm_sub_epi16(vS, v_ei), T);
+            _mm_store_si128((__m128i *)(SC + s * p), vS);
+            hd = _mm_load_si128((const __m128i *)(H + s * p));
+        }
+        int16_t few[8], ciw[8];
+        _mm_storeu_si128((__m128i *)few, vS);
+        {
+            int slE = slen * e_ins;
+            int prev = 0;
+            for (int l = 0; l < p; ++l) {
+                ciw[l] = (int16_t)prev;
+                int dec = prev - slE;
+                if (dec < 0) dec = 0;
+                int fl = few[l] > dec ? few[l] : dec;
+                prev = fl;
+            }
+        }
+        __m128i vC = _mm_loadu_si128((const __m128i *)ciw);
+        __m128i vCd = vC, prevFull = vC, vMax = z;
+        for (int s = 0; s < slen; ++s) {
+            __m128i F = prevFull;
+            vCd = _mm_max_epi16(_mm_sub_epi16(vCd, v_ei), z);
+            __m128i full = _mm_max_epi16(
+                _mm_load_si128((const __m128i *)(SC + s * p)), vCd);
+            prevFull = full;
+            __m128i h = _mm_max_epi16(
+                _mm_load_si128((const __m128i *)(HNF + s * p)), F);
+            _mm_store_si128((__m128i *)(H + s * p), h);
+            vMax = _mm_max_epi16(vMax, h);
+            __m128i e = _mm_load_si128((const __m128i *)(E + s * p));
+            e = _mm_max_epi16(
+                _mm_max_epi16(_mm_sub_epi16(e, v_ed),
+                              _mm_sub_epi16(h, v_oed)), z);
+            _mm_store_si128((__m128i *)(E + s * p), e);
+        }
+        int imax = hmax_epi16_(vMax);
+        if (imax >= minsc) {
+            if (nb == 0 || b_i[nb - 1] + 1 != i) {
+                b_s[nb] = imax; b_i[nb] = i; ++nb;
+            } else if (b_s[nb - 1] < imax) {
+                b_s[nb - 1] = imax; b_i[nb - 1] = i;
+            }
+        }
+        if (imax > gmax) {
+            gmax = imax; te = i;
+            memcpy(Hm, H, (size_t)nlen * 2);
+            if (gmax >= endsc) break;
+        }
+    }
+    r.score = gmax;
+    r.te = te;
+    if (nlen) {
+        int mx = Hm[0];
+        for (int j = 1; j < nlen; ++j) if (Hm[j] > mx) mx = Hm[j];
+        for (int j = 0; j < nlen; ++j) /* first LINEAR j (spec order) */
+            if (Hm[(j % slen) * p + j / slen] == mx) { r.qe = j; break; }
+    }
+    if (nb) {
+        int ii = (r.score + qmax - 1) / qmax;
+        int low = te - ii, high = te + ii;
+        for (int k = 0; k < nb; ++k)
+            if ((b_i[k] < low || b_i[k] > high) && b_s[k] > r.score2) {
+                r.score2 = b_s[k];
+                r.te2 = b_i[k];
+            }
+    }
+    return r;
+}
+#endif /* __SSE2__ */
+
 static kswr_t ksw_striped(scr_t *S, const uint8_t *q, int qlen,
                           const uint8_t *t, int tlen, const int8_t *mat,
                           int o_del, int e_del, int o_ins, int e_ins,
                           int xtra, int size) {
     kswr_t r = {0, -1, -1, -1, -1, -1, -1};
+#if defined(__SSE2__)
+    if (qlen > 0 && tlen > 0) {
+        const char *env = getenv("MPIBWA_SSW");
+        if (!(env && strcmp(env, "scalar") == 0)) {
+            if (size == 1) {
+                int mn = 127, mx = -128;
+                for (int i = 0; i < 25; ++i) {
+                    if (mat[i] < mn) mn = mat[i];
+                    if (mat[i] > mx) mx = mat[i];
+                }
+                /* biased u8 profile must fit a byte (always true for bwa
+                 * matrices, which have a negative mismatch score) */
+                if (mx + ((256 - mn) & 0xFF) <= 255)
+                    return ksw_striped_u8_sse(S, q, qlen, t, tlen, mat,
+                                              o_del, e_del, o_ins, e_ins,
+                                              xtra);
+            } else {
+                return ksw_striped_i16_sse(S, q, qlen, t, tlen, mat,
+                                           o_del, e_del, o_ins, e_ins,
+                                           xtra);
+            }
+        }
+    }
+#endif
     int p = 8 * (3 - size); /* 16 for u8, 8 for i16 */
     int slen = (qlen + p - 1) / p;
     int nlen = slen * p;
