@@ -107,10 +107,16 @@ def test_genome2g_int64_identity_vs_oracle(huge_prefix, tmp_path,
     env = {k: v for k, v in os.environ.items()
            if k not in ("JAX_PLATFORMS", "XLA_FLAGS")}
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    r = subprocess.run(
-        ["python", os.path.join(repo, "tests", "hw_huge_identity.py"),
-         huge_prefix, fq, str(want_f)],
-        capture_output=True, text=True, env=env, cwd=repo)
+    try:
+        r = subprocess.run(
+            ["python", os.path.join(repo, "tests", "hw_huge_identity.py"),
+             huge_prefix, fq, str(want_f)],
+            capture_output=True, text=True, env=env, cwd=repo,
+            timeout=3600)
+    except subprocess.TimeoutExpired:
+        # a wedged axon tunnel hangs inside jax.devices(); that is a
+        # hardware-availability condition, not a correctness failure
+        pytest.skip("TPU backend unreachable (subprocess timeout)")
     sys_err = r.stderr[-2000:]
     if r.returncode == 77:
         pytest.skip("no TPU backend for the hardware slice: " + sys_err)
