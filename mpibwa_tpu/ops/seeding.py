@@ -40,9 +40,8 @@ S3_CAP = 24  # max pass-3 seeds per read
 
 
 class FwdOut(NamedTuple):
-    ivals: jnp.ndarray  # (B, F_CAP, 3) int64 pushed intervals
+    ivals: jnp.ndarray  # (B, F_CAP, 3) idt pushed intervals
     infos: jnp.ndarray  # (B, F_CAP) int32 pushed info (end position)
-    call_of: jnp.ndarray  # (B, F_CAP) int32 which call pushed it
     n_pushed: jnp.ndarray  # (B,) int32
     call_x: jnp.ndarray  # (B, C_CAP) int32 start of each call
     call_start: jnp.ndarray  # (B, C_CAP) int32 index of first push
@@ -99,51 +98,48 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         ik2=jnp.zeros((S, W), fm.idt),
         info=jnp.zeros((S, W), jnp.int32),
         i=jnp.zeros((S, W), jnp.int32),
-        ivals=jnp.zeros((Bp * F_CAP, 3), fm.idt),
+        # push buffers are FLAT per component: 1-word flat scatters are
+        # this backend's fast scatter path — a (n, k) ROW scatter measured
+        # ~2-5x slower per round than k flat scatters (k=2: 112 vs 94 ms;
+        # k=4: 250 ms for the whole automaton)
+        iv0=jnp.zeros(Bp * F_CAP, fm.idt),
+        iv1=jnp.zeros(Bp * F_CAP, fm.idt),
+        iv2=jnp.zeros(Bp * F_CAP, fm.idt),
         infos=jnp.zeros(Bp * F_CAP, jnp.int32),
-        call_of=jnp.full(Bp * F_CAP, -1, jnp.int32),
         n_pushed=jnp.zeros((S, W), jnp.int32),
+        # call_len is DERIVED after the loop (pushes within a call are
+        # consecutive, so call_len[c] = start[c+1] - start[c], last =
+        # n_pushed - start); no per-round owner/length bookkeeping
         call_x=jnp.zeros(Bp * C_CAP, jnp.int32),
         call_start=jnp.zeros(Bp * C_CAP, jnp.int32),
-        call_len=jnp.zeros(Bp * C_CAP, jnp.int32),
         n_calls=jnp.zeros((S, W), jnp.int32),
         overflow=jnp.zeros((S, W), bool),
     )
 
-    def qat(pos):
+    def qat1(pos):
         safe = jnp.clip(pos, 0, L - 1)
         idx = jnp.minimum(row2d * np.int32(L) + safe, np.int32(B * L - 1))
         ok = (pos >= 0) & (pos < L) & (row2d < np.int32(B))
         return jnp.where(ok, qflat[idx], np.int32(4))
 
     def push(st, do):
-        """Append current ik/info for lanes where do is True (pure
-        drop-mode scatters; an overflowing push is dropped — the lane is
+        """Append current ik/info for lanes where do is True (one pure
+        drop-mode scatter; an overflowing push is dropped — the lane is
         overflow-flagged and falls back to the exact scalar engine)."""
         can = do & (st["n_pushed"] < F_CAP)
         ov = do & (st["n_pushed"] >= F_CAP)
         fidx = jnp.where(can, row2d * np.int32(F_CAP) + st["n_pushed"],
                          OUT_F).reshape(-1)
-        vals = jnp.stack([st["ik0"], st["ik1"], st["ik2"]],
-                         axis=-1).reshape(-1, 3)
-        st = dict(
+        return dict(
             st,
-            ivals=st["ivals"].at[fidx].set(vals, mode="drop"),
+            iv0=st["iv0"].at[fidx].set(st["ik0"].reshape(-1), mode="drop"),
+            iv1=st["iv1"].at[fidx].set(st["ik1"].reshape(-1), mode="drop"),
+            iv2=st["iv2"].at[fidx].set(st["ik2"].reshape(-1), mode="drop"),
             infos=st["infos"].at[fidx].set(st["info"].reshape(-1),
                                            mode="drop"),
-            call_of=st["call_of"].at[fidx].set(
-                (st["n_calls"] - 1).reshape(-1), mode="drop"),
             n_pushed=st["n_pushed"] + do.astype(jnp.int32),
             overflow=st["overflow"] | ov,
         )
-        cidx = jnp.where(
-            do,
-            row2d * np.int32(C_CAP)
-            + jnp.minimum(st["n_calls"] - 1, C_CAP - 1),
-            OUT_C).reshape(-1)
-        st["call_len"] = st["call_len"].at[cidx].add(np.int32(1),
-                                                     mode="drop")
-        return st
 
     def end_call(st, do):
         """Call finished: last pushed info is the return; chain or stop."""
@@ -161,9 +157,9 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     def body(st):
         kind, x = st["kind"], st["x"]
         seek = kind == SEEK
+        qx = qat1(x)
 
         # --- seek step ---
-        qx = qat(x)
         fin = seek & (x >= lens2)
         amb = seek & ~fin & (qx > 3)
         beg = seek & ~fin & ~amb
@@ -197,7 +193,7 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         kind, i = st["kind"], st["i"]
         ext = kind == EXT
         at_end = ext & (i >= lens2)
-        qi = qat(i)
+        qi = qat1(i)
         amb_i = ext & ~at_end & (qi > 3)
         do_ext = ext & ~at_end & ~amb_i
         # known-base extension: ONLY the consumed bwt_extend row
@@ -226,15 +222,269 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         return jnp.any(st["kind"] != DONE)
 
     state = jax.lax.while_loop(cond, body, state)
-    return FwdOut(state["ivals"].reshape(Bp, F_CAP, 3)[:B],
+    n_pushed = state["n_pushed"].reshape(Bp)
+    n_calls = state["n_calls"].reshape(Bp)
+    # call_len[c] = call_start[c+1] - call_start[c] (last: n_pushed - start):
+    # pushes within a call are consecutive in the lane's push buffer, so
+    # the lengths need no per-round bookkeeping (non-overflow lanes only;
+    # overflow lanes fall back to the exact scalar engine anyway)
+    call_start = state["call_start"].reshape(Bp, C_CAP)
+    nc = jnp.minimum(n_calls, C_CAP)[:, None]
+    cix = jnp.arange(C_CAP, dtype=jnp.int32)[None, :]
+    nxt = jnp.concatenate(
+        [call_start[:, 1:], jnp.zeros((Bp, 1), jnp.int32)], axis=1)
+    nxt = jnp.where(cix + 1 < nc, nxt, n_pushed[:, None])
+    call_len = jnp.where(cix < nc, nxt - call_start, 0)
+    ivals = jnp.stack([state["iv0"], state["iv1"], state["iv2"]],
+                      axis=-1).reshape(Bp, F_CAP, 3)
+    return FwdOut(ivals[:B],
                   state["infos"].reshape(Bp, F_CAP)[:B],
-                  state["call_of"].reshape(Bp, F_CAP)[:B],
-                  state["n_pushed"].reshape(Bp)[:B],
+                  n_pushed[:B],
                   state["call_x"].reshape(Bp, C_CAP)[:B],
-                  state["call_start"].reshape(Bp, C_CAP)[:B],
-                  state["call_len"].reshape(Bp, C_CAP)[:B],
-                  state["n_calls"].reshape(Bp)[:B],
+                  call_start[:B],
+                  call_len[:B],
+                  n_calls[:B],
                   state["overflow"].reshape(Bp)[:B])
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def forward_p3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
+               min_intv: jnp.ndarray, min_seed_len: int, max_intv: int
+               ) -> "tuple[FwdOut, Pass3Out]":
+    """Chained pass-1 forward loop AND the pass-3 sweep in ONE while_loop.
+
+    Run separately the two automata cost rounds_1 + rounds_3 lockstep
+    rounds (each ~L for 101 bp reads); merged they cost max(rounds_1,
+    rounds_3), with the per-round query gathers, set_intv table reads and
+    the extend1_fwd O2 row gather SHARED by stacking the two automata's
+    lanes into one (16, W) dispatch. Semantics are exactly
+    forward_pass(chain=True) + pass3 (bwt.c:304-321, 358-379)."""
+    B, L = q.shape
+    SEEK, EXT, DONE = 0, 1, 2
+    S = 8
+    Bp = ((B + S - 1) // S) * S
+    W = Bp // S
+    pad = Bp - B
+
+    def pad1(x, fill=0):
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(S, W)
+
+    qflat = q.reshape(-1).astype(jnp.int32)
+    lens2 = pad1(lens.astype(jnp.int32))
+    minv2 = pad1(min_intv.astype(fm.idt), 1)
+    row2d = jnp.arange(Bp, dtype=jnp.int32).reshape(S, W)
+    OUT_F = np.int32(Bp * F_CAP)
+    OUT_C = np.int32(Bp * C_CAP)
+    OUT_S = np.int32(Bp * S3_CAP)
+
+    state = dict(
+        # forward (pass-1) automaton
+        x=jnp.zeros((S, W), jnp.int32),
+        kind=jnp.full((S, W), SEEK, jnp.int32),
+        ik0=jnp.zeros((S, W), fm.idt),
+        ik1=jnp.zeros((S, W), fm.idt),
+        ik2=jnp.zeros((S, W), fm.idt),
+        info=jnp.zeros((S, W), jnp.int32),
+        i=jnp.zeros((S, W), jnp.int32),
+        iv0=jnp.zeros(Bp * F_CAP, fm.idt),
+        iv1=jnp.zeros(Bp * F_CAP, fm.idt),
+        iv2=jnp.zeros(Bp * F_CAP, fm.idt),
+        infos=jnp.zeros(Bp * F_CAP, jnp.int32),
+        n_pushed=jnp.zeros((S, W), jnp.int32),
+        call_x=jnp.zeros(Bp * C_CAP, jnp.int32),
+        call_start=jnp.zeros(Bp * C_CAP, jnp.int32),
+        n_calls=jnp.zeros((S, W), jnp.int32),
+        overflow=jnp.zeros((S, W), bool),
+        # pass-3 automaton
+        px=jnp.zeros((S, W), jnp.int32),
+        pi=jnp.zeros((S, W), jnp.int32),
+        pkind=jnp.full((S, W), SEEK, jnp.int32),
+        pk0=jnp.zeros((S, W), fm.idt),
+        pk1=jnp.zeros((S, W), fm.idt),
+        pk2=jnp.zeros((S, W), fm.idt),
+        s0=jnp.zeros(Bp * S3_CAP, fm.idt),
+        s1=jnp.zeros(Bp * S3_CAP, fm.idt),
+        s2=jnp.zeros(Bp * S3_CAP, fm.idt),
+        sx=jnp.zeros(Bp * S3_CAP, jnp.int32),
+        si=jnp.zeros(Bp * S3_CAP, jnp.int32),
+        pn=jnp.zeros((S, W), jnp.int32),
+        pov=jnp.zeros((S, W), bool),
+    )
+
+    def qat2(p0, p1):
+        """One gather for two positions per lane."""
+        def idx_of(pos):
+            safe = jnp.clip(pos, 0, L - 1)
+            return jnp.minimum(row2d * np.int32(L) + safe,
+                               np.int32(B * L - 1))
+
+        got = qflat[jnp.stack([idx_of(p0), idx_of(p1)])]
+
+        def mask(pos, g):
+            ok = (pos >= 0) & (pos < L) & (row2d < np.int32(B))
+            return jnp.where(ok, g, np.int32(4))
+
+        return mask(p0, got[0]), mask(p1, got[1])
+
+    def body(st):
+        # ---- phase 1: seek bases for both automata (one gather) ----
+        x, kind = st["x"], st["kind"]
+        px, pkind = st["px"], st["pkind"]
+        qx, pqx = qat2(x, px)
+        seek = kind == SEEK
+        pseek = pkind == SEEK
+
+        # ---- forward seek ----
+        fin = seek & (x >= lens2)
+        amb = seek & ~fin & (qx > 3)
+        beg = seek & ~fin & ~amb
+        call_ov = beg & (st["n_calls"] >= C_CAP)
+        beg = beg & ~call_ov
+        st = dict(st, overflow=st["overflow"] | call_ov,
+                  kind=jnp.where(fin | call_ov, DONE, st["kind"]),
+                  x=jnp.where(amb, x + 1, st["x"]))
+        cidx = jnp.where(
+            beg, row2d * np.int32(C_CAP) + jnp.minimum(st["n_calls"],
+                                                       C_CAP - 1),
+            OUT_C).reshape(-1)
+        st["call_x"] = st["call_x"].at[cidx].set(x.reshape(-1), mode="drop")
+        st["call_start"] = st["call_start"].at[cidx].set(
+            st["n_pushed"].reshape(-1), mode="drop")
+        st["n_calls"] = st["n_calls"] + beg.astype(jnp.int32)
+
+        # ---- pass-3 seek ----
+        pfin = pseek & (px >= lens2)
+        pamb = pseek & ~pfin & (pqx > 3)
+        pbeg = pseek & ~pfin & ~pamb
+        st["pkind"] = jnp.where(pfin, DONE, st["pkind"])
+        st["px"] = jnp.where(pamb, px + 1, st["px"])
+
+        # shared set_intv: stacked (16, W) single L2 read set
+        ikn = fm.set_intv(jnp.concatenate(
+            [jnp.clip(qx, 0, 3), jnp.clip(pqx, 0, 3)], axis=0))
+        st["ik0"] = jnp.where(beg, ikn[:S, :, 0], st["ik0"])
+        st["ik1"] = jnp.where(beg, ikn[:S, :, 1], st["ik1"])
+        st["ik2"] = jnp.where(beg, ikn[:S, :, 2], st["ik2"])
+        st["info"] = jnp.where(beg, x + 1, st["info"])
+        st["i"] = jnp.where(beg, x + 1, st["i"])
+        st["kind"] = jnp.where(beg, EXT, st["kind"])
+        st["pk0"] = jnp.where(pbeg, ikn[S:, :, 0], st["pk0"])
+        st["pk1"] = jnp.where(pbeg, ikn[S:, :, 1], st["pk1"])
+        st["pk2"] = jnp.where(pbeg, ikn[S:, :, 2], st["pk2"])
+        st["pi"] = jnp.where(pbeg, st["px"] + 1, st["pi"])
+        st["pkind"] = jnp.where(pbeg, EXT, st["pkind"])
+
+        # ---- phase 2: extend bases for both automata (one gather) ----
+        i, pi = st["i"], st["pi"]
+        qi, pqi = qat2(i, pi)
+        ext = st["kind"] == EXT
+        pext = st["pkind"] == EXT
+        at_end = ext & (i >= lens2)
+        amb_i = ext & ~at_end & (qi > 3)
+        do_ext = ext & ~at_end & ~amb_i
+        p_end = pext & (pi >= lens2)
+        pamb_i = pext & ~p_end & (pqi > 3)
+        pdo = pext & ~p_end & ~pamb_i
+
+        # shared extension: stacked (16, W) — ONE O2 row gather
+        cb = (3 - jnp.clip(qi, 0, 3)).astype(jnp.int32)
+        pcb = (3 - jnp.clip(pqi, 0, 3)).astype(jnp.int32)
+        ek0, ek1, ek2 = fm.extend1_fwd(
+            jnp.concatenate([st["ik0"], st["pk0"]], axis=0),
+            jnp.concatenate([st["ik1"], st["pk1"]], axis=0),
+            jnp.concatenate([st["ik2"], st["pk2"]], axis=0),
+            jnp.concatenate([cb, pcb], axis=0))
+        nk0, nk1, ns = ek0[:S], ek1[:S], ek2[:S]
+        qk0, qk1, qs = ek0[S:], ek1[S:], ek2[S:]
+
+        # ---- forward extend bookkeeping ----
+        changed = ns != st["ik2"]
+        too_small = ns < minv2
+        push_now = at_end | amb_i | (do_ext & changed)
+        can = push_now & (st["n_pushed"] < F_CAP)
+        ov = push_now & (st["n_pushed"] >= F_CAP)
+        fidx = jnp.where(can, row2d * np.int32(F_CAP) + st["n_pushed"],
+                         OUT_F).reshape(-1)
+        st["iv0"] = st["iv0"].at[fidx].set(st["ik0"].reshape(-1), mode="drop")
+        st["iv1"] = st["iv1"].at[fidx].set(st["ik1"].reshape(-1), mode="drop")
+        st["iv2"] = st["iv2"].at[fidx].set(st["ik2"].reshape(-1), mode="drop")
+        st["infos"] = st["infos"].at[fidx].set(st["info"].reshape(-1),
+                                               mode="drop")
+        st["n_pushed"] = st["n_pushed"] + push_now.astype(jnp.int32)
+        st["overflow"] = st["overflow"] | ov
+        # call end: last pushed info is the return; chain to next x
+        term = at_end | amb_i | (do_ext & changed & too_small)
+        last = jnp.maximum(st["n_pushed"] - 1, 0)
+        gidx = row2d * np.int32(F_CAP) + jnp.minimum(last, F_CAP - 1)
+        ret = st["infos"][gidx]
+        st["x"] = jnp.where(term, ret, st["x"])
+        st["kind"] = jnp.where(term, SEEK, st["kind"])
+        go_on = do_ext & ~(changed & too_small)
+        st["ik0"] = jnp.where(go_on, nk0, st["ik0"])
+        st["ik1"] = jnp.where(go_on, nk1, st["ik1"])
+        st["ik2"] = jnp.where(go_on, ns, st["ik2"])
+        st["info"] = jnp.where(go_on, i + 1, st["info"])
+        st["i"] = jnp.where(go_on, i + 1, st["i"])
+
+        # ---- pass-3 extend bookkeeping ----
+        hit = pdo & (qs < max_intv) & ((pi - st["px"]) >= min_seed_len)
+        emit = hit & (qs > 0)
+        pcan = emit & (st["pn"] < S3_CAP)
+        pv = emit & (st["pn"] >= S3_CAP)
+        sidx = jnp.where(pcan, row2d * np.int32(S3_CAP) + st["pn"],
+                         OUT_S).reshape(-1)
+        st["s0"] = st["s0"].at[sidx].set(qk0.reshape(-1), mode="drop")
+        st["s1"] = st["s1"].at[sidx].set(qk1.reshape(-1), mode="drop")
+        st["s2"] = st["s2"].at[sidx].set(qs.reshape(-1), mode="drop")
+        st["sx"] = st["sx"].at[sidx].set(st["px"].reshape(-1), mode="drop")
+        st["si"] = st["si"].at[sidx].set((pi + 1).reshape(-1), mode="drop")
+        st["pn"] = st["pn"] + emit.astype(jnp.int32)
+        st["pov"] = st["pov"] | pv
+        st["pkind"] = jnp.where(p_end, DONE, st["pkind"])
+        pnxt = pamb_i | hit
+        st["px"] = jnp.where(pnxt, pi + 1, st["px"])
+        st["pkind"] = jnp.where(pnxt, SEEK, st["pkind"])
+        pgo = pdo & ~hit
+        st["pk0"] = jnp.where(pgo, qk0, st["pk0"])
+        st["pk1"] = jnp.where(pgo, qk1, st["pk1"])
+        st["pk2"] = jnp.where(pgo, qs, st["pk2"])
+        st["pi"] = jnp.where(pgo, pi + 1, st["pi"])
+        return st
+
+    def cond(st):
+        return jnp.any((st["kind"] != DONE) | (st["pkind"] != DONE))
+
+    state = jax.lax.while_loop(cond, body, state)
+    n_pushed = state["n_pushed"].reshape(Bp)
+    n_calls = state["n_calls"].reshape(Bp)
+    call_start = state["call_start"].reshape(Bp, C_CAP)
+    nc = jnp.minimum(n_calls, C_CAP)[:, None]
+    cix = jnp.arange(C_CAP, dtype=jnp.int32)[None, :]
+    nxt = jnp.concatenate(
+        [call_start[:, 1:], jnp.zeros((Bp, 1), jnp.int32)], axis=1)
+    nxt = jnp.where(cix + 1 < nc, nxt, n_pushed[:, None])
+    call_len = jnp.where(cix < nc, nxt - call_start, 0)
+    ivals = jnp.stack([state["iv0"], state["iv1"], state["iv2"]],
+                      axis=-1).reshape(Bp, F_CAP, 3)
+    fwd = FwdOut(ivals[:B],
+                 state["infos"].reshape(Bp, F_CAP)[:B],
+                 n_pushed[:B],
+                 state["call_x"].reshape(Bp, C_CAP)[:B],
+                 call_start[:B],
+                 call_len[:B],
+                 n_calls[:B],
+                 state["overflow"].reshape(Bp)[:B])
+    seeds = jnp.stack([state["s0"], state["s1"], state["s2"]],
+                      axis=-1).reshape(Bp, S3_CAP, 3)
+    sinf = ((state["sx"].astype(jnp.int64) << 32)
+            | state["si"].astype(jnp.int64))
+    p3 = Pass3Out(seeds[:B],
+                  sinf.reshape(Bp, S3_CAP)[:B],
+                  state["pn"].reshape(Bp)[:B],
+                  state["pov"].reshape(Bp)[:B])
+    return fwd, p3
 
 
 class BwdOut(NamedTuple):
@@ -412,59 +662,100 @@ class Pass3Out(NamedTuple):
 @functools.partial(jax.jit, static_argnums=(3, 4))
 def pass3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
           min_seed_len: int, max_intv: int) -> Pass3Out:
-    """bwt_seed_strategy1 sweep (mem_collect_intv 3rd pass)."""
+    """bwt_seed_strategy1 sweep (mem_collect_intv 3rd pass).
+
+    Runs in (8, W) layout like forward_pass — (B,) elementwise maps to one
+    VPU sublane row while (8, W) uses all eight; the 1-D formulation
+    measured SLOWER than the whole chained pass-1 automaton — with the
+    seed quads [s0, s1, s2, info] fused into ONE flat drop-mode scatter."""
     B, L = q.shape
-    rows = jnp.arange(B)
     SEEK, EXT, DONE = 0, 1, 2
+    S = 8
+    Bp = ((B + S - 1) // S) * S
+    W = Bp // S
+    pad = Bp - B
+
+    def pad1(x, fill=0):
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, x.dtype)])
+        return x.reshape(S, W)
+
+    qflat = q.reshape(-1).astype(jnp.int32)
+    lens2 = pad1(lens.astype(jnp.int32))
+    row2d = jnp.arange(Bp, dtype=jnp.int32).reshape(S, W)
+    OUT_S = np.int32(Bp * S3_CAP)
 
     state = dict(
-        x=jnp.zeros(B, jnp.int32), i=jnp.zeros(B, jnp.int32),
-        kind=jnp.full(B, SEEK, jnp.int32),
-        ik=jnp.zeros((B, 3), fm.idt),
-        seeds=jnp.zeros((B, S3_CAP, 3), fm.idt),
-        infos=jnp.zeros((B, S3_CAP), jnp.int64),
-        n=jnp.zeros(B, jnp.int32),
-        overflow=jnp.zeros(B, bool),
+        x=jnp.zeros((S, W), jnp.int32), i=jnp.zeros((S, W), jnp.int32),
+        kind=jnp.full((S, W), SEEK, jnp.int32),
+        ik0=jnp.zeros((S, W), fm.idt),
+        ik1=jnp.zeros((S, W), fm.idt),
+        ik2=jnp.zeros((S, W), fm.idt),
+        # flat per-component buffers: 1-word flat scatters are the fast
+        # scatter path (row scatters measured 2-5x slower; see forward_pass)
+        s0=jnp.zeros(Bp * S3_CAP, fm.idt),
+        s1=jnp.zeros(Bp * S3_CAP, fm.idt),
+        s2=jnp.zeros(Bp * S3_CAP, fm.idt),
+        # info = (x<<32 | i+1) is int64, but int64 scatters are emulated
+        # (2x): keep the two int32 halves flat and combine post-loop
+        sx=jnp.zeros(Bp * S3_CAP, jnp.int32),
+        si=jnp.zeros(Bp * S3_CAP, jnp.int32),
+        n=jnp.zeros((S, W), jnp.int32),
+        overflow=jnp.zeros((S, W), bool),
     )
 
-    def qat(pos):
-        safe = jnp.clip(pos, 0, L - 1)
-        return jnp.where((pos >= 0) & (pos < L), q[rows, safe], jnp.uint8(4))
+    def qat2(p0, p1):
+        def idx_of(pos):
+            safe = jnp.clip(pos, 0, L - 1)
+            return jnp.minimum(row2d * np.int32(L) + safe,
+                               np.int32(B * L - 1))
+
+        idx = jnp.stack([idx_of(p0), idx_of(p1)])
+        got = qflat[idx]
+
+        def mask(pos, g):
+            ok = (pos >= 0) & (pos < L) & (row2d < np.int32(B))
+            return jnp.where(ok, g, np.int32(4))
+
+        return mask(p0, got[0]), mask(p1, got[1])
 
     def body(st):
         x, i, kind = st["x"], st["i"], st["kind"]
         seek = kind == SEEK
-        qx = qat(x)
-        fin = seek & (x >= lens)
+        # extend base: a lane beginning its call THIS round extends at x+1
+        qx, qi0 = qat2(x, jnp.where(seek, x + 1, i))
+        fin = seek & (x >= lens2)
         amb = seek & ~fin & (qx > 3)
         beg = seek & ~fin & ~amb
         st = dict(st, kind=jnp.where(fin, DONE, kind),
                   x=jnp.where(amb, x + 1, x))
-        ik0 = fm.set_intv(jnp.clip(qx, 0, 3).astype(jnp.int32))
-        st["ik"] = jnp.where(beg[:, None], ik0, st["ik"])
+        ik0n = fm.set_intv(jnp.clip(qx, 0, 3).astype(jnp.int32))
+        st["ik0"] = jnp.where(beg, ik0n[..., 0], st["ik0"])
+        st["ik1"] = jnp.where(beg, ik0n[..., 1], st["ik1"])
+        st["ik2"] = jnp.where(beg, ik0n[..., 2], st["ik2"])
         st["i"] = jnp.where(beg, st["x"] + 1, st["i"])
         st["kind"] = jnp.where(beg, EXT, st["kind"])
 
         kind, i = st["kind"], st["i"]
         ext = kind == EXT
-        end_of_read = ext & (i >= lens)  # loop ran off: return len, done
-        qi = qat(i)
+        end_of_read = ext & (i >= lens2)  # loop ran off: return len, done
+        qi = qi0
         amb_i = ext & ~end_of_read & (qi > 3)  # return i+1 -> next x
         do = ext & ~end_of_read & ~amb_i
         c = (3 - jnp.clip(qi, 0, 3)).astype(jnp.int32)
-        nk0, nk1, ns = fm.extend1_fwd(st["ik"][:, 0], st["ik"][:, 1],
-                                      st["ik"][:, 2], c)
-        okc = jnp.stack([nk0, nk1, ns], axis=-1)
-        hit = do & (okc[:, 2] < max_intv) & ((i - st["x"]) >= min_seed_len)
-        # emit seed when hit & size > 0
-        emit = hit & (okc[:, 2] > 0)
-        sidx = jnp.minimum(st["n"], S3_CAP - 1)
+        nk0, nk1, ns = fm.extend1_fwd(st["ik0"], st["ik1"], st["ik2"], c)
+        hit = do & (ns < max_intv) & ((i - st["x"]) >= min_seed_len)
+        # emit seed when hit & size > 0 (one fused quad scatter)
+        emit = hit & (ns > 0)
+        can = emit & (st["n"] < S3_CAP)
         ov = emit & (st["n"] >= S3_CAP)
-        info = (st["x"].astype(jnp.int64) << 32) | (i + 1).astype(jnp.int64)
-        st["seeds"] = st["seeds"].at[rows, sidx].set(
-            jnp.where(emit[:, None], okc, st["seeds"][rows, sidx]))
-        st["infos"] = st["infos"].at[rows, sidx].set(
-            jnp.where(emit, info, st["infos"][rows, sidx]))
+        sidx = jnp.where(can, row2d * np.int32(S3_CAP) + st["n"],
+                         OUT_S).reshape(-1)
+        st["s0"] = st["s0"].at[sidx].set(nk0.reshape(-1), mode="drop")
+        st["s1"] = st["s1"].at[sidx].set(nk1.reshape(-1), mode="drop")
+        st["s2"] = st["s2"].at[sidx].set(ns.reshape(-1), mode="drop")
+        st["sx"] = st["sx"].at[sidx].set(st["x"].reshape(-1), mode="drop")
+        st["si"] = st["si"].at[sidx].set((i + 1).reshape(-1), mode="drop")
         st["n"] = st["n"] + emit.astype(jnp.int32)
         st["overflow"] = st["overflow"] | ov
 
@@ -473,7 +764,9 @@ def pass3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         st["x"] = jnp.where(nxt, i + 1, st["x"])
         st["kind"] = jnp.where(nxt, SEEK, st["kind"])
         go_on = do & ~hit
-        st["ik"] = jnp.where(go_on[:, None], okc, st["ik"])
+        st["ik0"] = jnp.where(go_on, nk0, st["ik0"])
+        st["ik1"] = jnp.where(go_on, nk1, st["ik1"])
+        st["ik2"] = jnp.where(go_on, ns, st["ik2"])
         st["i"] = jnp.where(go_on, i + 1, st["i"])
         return st
 
@@ -481,4 +774,11 @@ def pass3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         return jnp.any(st["kind"] != DONE)
 
     state = jax.lax.while_loop(cond, body, state)
-    return Pass3Out(state["seeds"], state["infos"], state["n"], state["overflow"])
+    seeds = jnp.stack([state["s0"], state["s1"], state["s2"]],
+                      axis=-1).reshape(Bp, S3_CAP, 3)
+    sinf = ((state["sx"].astype(jnp.int64) << 32)
+            | state["si"].astype(jnp.int64))
+    return Pass3Out(seeds[:B],
+                    sinf.reshape(Bp, S3_CAP)[:B],
+                    state["n"].reshape(Bp)[:B],
+                    state["overflow"].reshape(Bp)[:B])

@@ -94,9 +94,10 @@ def _fused_p1_p3_jit():
     @functools.partial(jax.jit, static_argnums=(3, 4))
     def run(fm, qd, lensd, msl, mmi):
         B = qd.shape[0]
-        fwd = seeding.forward_pass(fm, qd, lensd,
-                                   jnp.ones(B, jnp.int64), True)
-        p3 = seeding.pass3(fm, qd, lensd, msl, mmi)
+        # merged automata: rounds = max(pass1, pass3) instead of the sum,
+        # with the query/set_intv/extend1_fwd work shared (seeding.forward_p3)
+        fwd, p3 = seeding.forward_p3(fm, qd, lensd,
+                                     jnp.ones(B, jnp.int64), msl, mmi)
         counts = jnp.stack(
             [fwd.overflow.astype(jnp.int32), fwd.n_calls.astype(jnp.int32),
              p3.overflow.astype(jnp.int32), p3.n_seeds.astype(jnp.int32)],
