@@ -142,10 +142,11 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         )
 
     def end_call(st, do):
-        """Call finished: last pushed info is the return; chain or stop."""
-        last = jnp.maximum(st["n_pushed"] - 1, 0)
-        gidx = row2d * np.int32(F_CAP) + jnp.minimum(last, F_CAP - 1)
-        ret = st["infos"][gidx]
+        """Call finished: last pushed info is the return; chain or stop.
+        Every terminating lane pushed THIS round (term is a subset of
+        push_now), so the last pushed info IS the lane's current info
+        register — no buffer gather needed."""
+        ret = st["info"]
         if chain:
             new_x = jnp.where(do, ret, st["x"])
             new_kind = jnp.where(do, SEEK, st["kind"])
@@ -414,12 +415,11 @@ def forward_p3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
                                                mode="drop")
         st["n_pushed"] = st["n_pushed"] + push_now.astype(jnp.int32)
         st["overflow"] = st["overflow"] | ov
-        # call end: last pushed info is the return; chain to next x
+        # call end: the last pushed info is the return, and every
+        # terminating lane pushed THIS round (term subset of push_now),
+        # so it IS the lane's info register — no buffer gather
         term = at_end | amb_i | (do_ext & changed & too_small)
-        last = jnp.maximum(st["n_pushed"] - 1, 0)
-        gidx = row2d * np.int32(F_CAP) + jnp.minimum(last, F_CAP - 1)
-        ret = st["infos"][gidx]
-        st["x"] = jnp.where(term, ret, st["x"])
+        st["x"] = jnp.where(term, st["info"], st["x"])
         st["kind"] = jnp.where(term, SEEK, st["kind"])
         go_on = do_ext & ~(changed & too_small)
         st["ik0"] = jnp.where(go_on, nk0, st["ik0"])
