@@ -69,16 +69,17 @@ def _fused_p1_p3(fm, qd, lensd, min_seed_len, max_intv):
     (B, 244) int64 layout (1952 B/read) it replaces — the tunnel link is
     ~6 MB/s, so the dense pull alone cost ~5 s per 16 K microbatch.
 
-    Returns (ivals, infos, counts_d, buf_d): counts (B, 4) int32
-    [fwd_overflow, n_calls, p3_overflow, n_seeds]; buf one int64 vector
-    holding the compacted call words (x<<42 | start<<21 | len, b-major —
-    lane order == the b_of/c_of enumeration downstream) at [0, e1)
-    immediately followed by the compacted pass-3 seed quads
-    [s0, s1, s2, info] at [e1, e1 + 4*e3), where e1 = sum(min(n_calls,
-    C_CAP)) and e3 = sum(min(n_seeds, S3_CAP)). The caller pulls counts,
-    derives e1/e3, and pulls ONE pow2-bucketed prefix of buf; capacity is
-    the dense worst case, so no overflow path is needed. The 21-bit call
-    fields bound read length at 2 Mbp (checked in _pad_batch)."""
+    Returns (ivals, infos, ctl_d, bufs_d): ctl = counts (B, 4 flattened:
+    [fwd_overflow, n_calls, p3_overflow, n_seeds]) ++ the compacted call
+    words (b-major — lane order == the b_of/c_of enumeration downstream;
+    int32 x<<16|start<<8|len for L < 64 Ki, else int64
+    x<<42|start<<21|len); bufs = the compacted pass-3 seed quads
+    [s0, s1, s2, info] int64. The caller pulls ONE speculative
+    pow2-bucketed prefix of ctl (counts + estimated e1 = sum(min(n_calls,
+    C_CAP)) call words) and an async prefix of bufs; capacities are the
+    dense worst case, so no overflow path is needed. The 21-bit call
+    fields of the wide form bound read length at 2 Mbp (checked in
+    _pad_batch)."""
     return _fused_p1_p3_jit()(fm, qd, lensd, min_seed_len, max_intv)
 
 
@@ -104,10 +105,25 @@ def _fused_p1_p3_jit():
             axis=1)
         C = fwd.call_x.shape[1]
         S = p3.infos.shape[1]
+        L = qd.shape[1]
 
-        cw = ((fwd.call_x.astype(jnp.int64) << 42)
-              | (fwd.call_start.astype(jnp.int64) << 21)
-              | fwd.call_len.astype(jnp.int64)).ravel()
+        # call word: int32 (x<<16 | start<<8 | len) when the read length
+        # fits 16 bits (always, for short reads) — HALF the tunnel bytes of
+        # the int64 (x<<42 | start<<21 | len) form. start/len <= F_CAP=192
+        # fit 8 bits on every non-overflow lane; overflow lanes are
+        # clamped (their reads fall back to the scalar engine, values
+        # unused downstream).
+        narrow = L < (1 << 16)
+        if narrow:
+            cw = ((fwd.call_x << 16)
+                  | (jnp.minimum(fwd.call_start, 255) << 8)
+                  | jnp.minimum(fwd.call_len, 255)).ravel()
+            cdt = jnp.int32
+        else:
+            cw = ((fwd.call_x.astype(jnp.int64) << 42)
+                  | (fwd.call_start.astype(jnp.int64) << 21)
+                  | fwd.call_len.astype(jnp.int64)).ravel()
+            cdt = jnp.int64
         maskc = (jnp.arange(C, dtype=jnp.int32)[None, :]
                  < jnp.minimum(fwd.n_calls, C).astype(jnp.int32)[:, None]
                  ).ravel()
@@ -122,48 +138,71 @@ def _fused_p1_p3_jit():
                  ).ravel()
         poss = jnp.cumsum(masks.astype(jnp.int32)) - 1
 
-        # two compacted buffers (calls, seeds): the host needs the call
-        # words BEFORE it can assemble the backward, but the seed quads
-        # only after it — splitting lets the seeds ride a device->host
-        # copy that overlaps the backward's round compute
+        # control buffer = counts ++ compacted call words: the host reads
+        # BOTH before it can assemble the backward, so they ride ONE
+        # speculative prefix pull (one tunnel round trip, not two). The
+        # seed quads still ride their own async pull — consumed only
+        # after the backward, the copy overlaps its round compute.
         TOTC = B * C
-        bufc = jnp.zeros(TOTC + 1, jnp.int64).at[
+        bufc = jnp.zeros(TOTC + 1, cdt).at[
             jnp.where(maskc, posc, TOTC)].set(cw, mode="drop")[:TOTC]
+        ctl = jnp.concatenate([counts.ravel().astype(cdt), bufc])
         TOTS = 4 * B * S
         bufs = jnp.zeros(TOTS + 1, jnp.int64)
         base = 4 * poss
         for j in range(4):
             bufs = bufs.at[jnp.where(masks, base + j, TOTS)].set(
                 quads[:, j], mode="drop")
-        return fwd.ivals, fwd.infos, counts, bufc, bufs[:TOTS]
+        return fwd.ivals, fwd.infos, ctl, bufs[:TOTS]
 
     _JITS["p1p3"] = run
     return run
 
 
-def _pull_p1p3(counts_d, bufc_d, bufs_d):
-    """Pull the fused pass-1/pass-3 results: counts, then the call words
-    (needed NOW to assemble the backward) and an ASYNC pull of the seed
-    quads (consumed only after the backward — the copy overlaps its round
-    compute). Returns (counts, fallback, ncl, calls_np (e1, 3) int64
-    [x, start, len], n3 (B,) clamped, seeds_thunk -> (e3, 4) int64)."""
+def _pull_p1p3(ctl_d, bufs_d, B, est_state=None):
+    """Pull the fused pass-1/pass-3 results: ONE speculative prefix pull
+    of the control buffer (counts ++ compacted call words — both needed
+    before the backward can be assembled, so two separate pulls paid two
+    tunnel round trips) and an ASYNC pull of the seed quads (consumed only
+    after the backward — the copy overlaps its round compute). The
+    speculative length adapts to the observed calls/read (est_state); an
+    underestimate pays one extra pull for the full prefix. Returns
+    (counts, fallback, ncl, calls_np (e1, 3) int64 [x, start, len],
+    n3 (B,) clamped, seeds_thunk -> (e3, 4) int64)."""
     import os
 
     from mpibwa_tpu.ops.pulls import pull_prefix_async
 
-    counts = np.asarray(counts_d)
+    hdr = 4 * B
+    est = (est_state or {}).get("e1", 12 * B)
+    got = pull_prefix(ctl_d, hdr + est, min_cap=1024)
+    counts = np.asarray(got[:hdr]).reshape(B, 4).astype(np.int32)
     fallback = counts[:, 0] != 0
     ncl = np.minimum(counts[:, 1].astype(np.int64), seeding.C_CAP)
     n3 = np.minimum(counts[:, 3].astype(np.int64), seeding.S3_CAP)
     e1, e3 = int(ncl.sum()), int(n3.sum())
-    w = pull_prefix(bufc_d, e1, min_cap=1024)
+    if est_state is not None:
+        # bucket-aligned estimate: pull_prefix rounds the slice length up
+        # to a power of two, so size the speculative length to EXACTLY the
+        # bucket covering hdr + e1 — the pow2 headroom doubles as margin
+        # (an overshooting margin would spill into the next bucket and
+        # double the pulled bytes instead)
+        est_state["e1"] = max(1024, (1 << (hdr + e1 - 1).bit_length()) - hdr)
     if os.environ.get("MPIBWA_ASYNC_PULL", "1") == "1":
         seeds_raw = pull_prefix_async(bufs_d, 4 * e3, min_cap=1024)
     else:
-        got = pull_prefix(bufs_d, 4 * e3, min_cap=1024)
-        seeds_raw = lambda: got
-    M21 = (1 << 21) - 1
-    calls_np = np.stack([w >> 42, (w >> 21) & M21, w & M21], axis=1)
+        got_s = pull_prefix(bufs_d, 4 * e3, min_cap=1024)
+        seeds_raw = lambda: got_s
+    if e1 > est:  # speculative prefix too short: one full re-pull
+        got = pull_prefix(ctl_d, hdr + e1, min_cap=1024)
+    w = got[hdr : hdr + e1]
+    if w.dtype == np.int32:  # narrow packing (x<<16 | start<<8 | len)
+        wu = w.view(np.uint32).astype(np.int64)
+        calls_np = np.stack(
+            [wu >> 16, (wu >> 8) & 0xFF, wu & 0xFF], axis=1)
+    else:
+        M21 = (1 << 21) - 1
+        calls_np = np.stack([w >> 42, (w >> 21) & M21, w & M21], axis=1)
     seeds_thunk = lambda: seeds_raw().reshape(e3, 4)
     return counts, fallback, ncl, calls_np, n3, seeds_thunk
 
@@ -368,10 +407,11 @@ class DeviceSeeder:
         # ---- pass 1 forward (+ pass 3, fused: one dispatch, sparse pull) ----
         p3_sparse = None
         if opt.max_mem_intv > 0:
-            ivals1, infos1, counts_d, bufc_d, bufs_d = _fused_p1_p3(
+            ivals1, infos1, ctl_d, bufs_d = _fused_p1_p3(
                 self.dfm, qd, lensd, opt.min_seed_len, opt.max_mem_intv)
+            est = self.__dict__.setdefault("_e1_est", {})
             counts, fallback, ncl, calls_np, n3_all, seeds_thunk = \
-                _pull_p1p3(counts_d, bufc_d, bufs_d)
+                _pull_p1p3(ctl_d, bufs_d, B, est)
             p3_sparse = (counts[:, 2], n3_all, seeds_thunk)
         else:
             min1 = jnp.ones(B, dtype=jnp.int64)
@@ -605,10 +645,11 @@ class DeviceSeeder:
         # ---- pass 1 forward (+ pass 3, fused, sparse pull) ----
         p3_sparse = None
         if opt.max_mem_intv > 0:
-            ivals1, infos1, counts_d, bufc_d, bufs_d = _fused_p1_p3(
+            ivals1, infos1, ctl_d, bufs_d = _fused_p1_p3(
                 self.dfm, qd, lensd, opt.min_seed_len, opt.max_mem_intv)
+            est = self.__dict__.setdefault("_e1_est", {})
             counts, fallback, ncl, calls_np, n3_all, seeds_thunk = \
-                _pull_p1p3(counts_d, bufc_d, bufs_d)
+                _pull_p1p3(ctl_d, bufs_d, B, est)
             p3_sparse = (counts[:, 2], n3_all, seeds_thunk)
         else:
             min1 = jnp.ones(B, dtype=jnp.int64)
