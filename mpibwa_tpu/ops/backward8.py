@@ -68,8 +68,12 @@ BIG = np.int32(1 << 30)  # last_start "no mem yet" sentinel
 I0 = np.int32(0)
 I1 = np.int32(1)
 
-SEG_ROUNDS = 4       # rounds per segment between shrinks (first seg: 5)
-MIN_CAP = 8192       # switch to the single while_loop tail at this capacity
+import os as _os_mod
+
+SEG_ROUNDS = int(_os_mod.environ.get("MPIBWA_SEG_ROUNDS", "4"))
+#                    rounds per segment between shrinks (first seg: +1)
+MIN_CAP = int(_os_mod.environ.get("MPIBWA_MIN_CAP", "8192"))
+#                    switch to the single while_loop tail at this capacity
 
 # MPIBWA_BWD_STATS=1 accumulates driver-phase seconds here (segments with
 # their live-count syncs, tail+pack, result pull) for the bench profile
@@ -231,32 +235,32 @@ def _round8(o2, l2sel, primary, qflat, Ln, NL, st):
     liveb = live != I0
     keeper = liveb & has_c & (s2 >= minv_e)
 
-    # per-lane state in one (NL, 2) ROW gather: [fp slot, last_start]
-    # (the reshape is layout-free; row gathers measured 5.5x cheaper than
-    # the flat two-index form)
+    # per-lane fp slot in one (NL, 2) ROW gather (the cheapest gather form
+    # on this hardware — 2.6 ns/row vs 7.5 for a flat 1-word gather; the
+    # odd half of fpls is unused)
     fl = fpls.reshape(NL, 2)[lane2d]  # (8, W, 2)
     fp_l = fl[..., 0]
-    last_l = fl[..., 1]
 
-    # emission: the lane's first live entry fails and is not contained
-    # (bwt.c:329-337)
+    # emission: the lane's first live entry fails (bwt.c:329-337). The C
+    # loop's last_start containment check is REDUNDANT under fact 1
+    # (failures form a prefix): within a round only the fp entry can pass
+    # is_first (the check's within-round role), and between rounds i
+    # strictly decreases so a new start i+1 is always < every earlier
+    # start — the check can never fire. Dropping it halves the
+    # scatter-min below (one index per entry, not two).
     is_first = liveb & (slot == fp_l)
-    emit = is_first & ~keeper & ((i_e + I1) < last_l)
+    emit = is_first & ~keeper
     new_emitted = emitted | emit.astype(jnp.int32)
     new_em_start = jnp.where(emit, i_e + I1, em_start)
 
-    # one scatter-min updates both halves: keepers advance fp to their
-    # smallest slot; emitters lower last_start to i+1. fp must RESET to
-    # the sentinel every round (no keepers => lane done), so scatter into
-    # a fresh array and carry last_start over explicitly.
+    # keepers advance fp to their smallest slot. fp must RESET to the
+    # sentinel every round (no keepers => lane done), so scatter into a
+    # fresh array.
     fresh = jnp.where(
         (jnp.arange(fpls.shape[0], dtype=jnp.int32) & I1) != I0,
         fpls, np.int32(S * W))
-    sidx = jnp.concatenate(
-        [jnp.where(keeper, lane2d << 1, np.int32(2 * NL)),
-         jnp.where(emit, (lane2d << 1) | I1, np.int32(2 * NL))], axis=1)
-    sval = jnp.concatenate([slot, i_e + I1], axis=1)
-    new_fpls = fresh.at[sidx].min(sval, mode="drop")
+    sidx = jnp.where(keeper, lane2d << 1, np.int32(2 * NL))
+    new_fpls = fresh.at[sidx].min(slot, mode="drop")
 
     app = keeper
     return (jnp.where(app, k2, ik0), ik1,
@@ -544,6 +548,9 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
                 caps.append(c)
         SCHED_CACHE[skey] = tuple(caps)
     if prof is not None:
+        # stats mode only: block so segs_s measures the queued segment
+        # round compute instead of lumping it into tail_s
+        jax.block_until_ready(st[0])
         prof["segs_s"] = prof.get("segs_s", 0.0) + _time.time() - t0
         prof["n_segs"] = prof.get("n_segs", 0) + n_segs
         prof["n_calls"] = prof.get("n_calls", 0) + 1
