@@ -397,16 +397,24 @@ def main():
                 repeat=int(os.environ.get("BENCH_PE_REPEAT", "2")))
     se_rps, pe_rps = _median(se_rates), _median(pe_rates)
     series = None
+    series_pe = None
     if os.environ.get("BENCH_SERIES"):
-        # measured worker-scaling series (SE, fewer passes): how much the
+        # measured worker-scaling series (fewer passes): how much the
         # pipelined-worker overlap actually buys on this host, recorded so
-        # scaling claims are data, not design intent
+        # scaling claims are data, not design intent — SE and PE both
+        # (the PE emit path loads the host cores very differently)
         series = {}
+        series_pe = {}
         for w in range(1, workers + 1):
             rs, _, _ = bench_config(idx, dfm, list(r1), False, w, batch,
                                  max(2, passes - 2),
                                  os.path.join(golden_dir, "se_10k.sam"))
             series[str(w)] = round(_median(rs), 1)
+            rp, _, _ = bench_config(
+                idx, dfm, interleave(r1, r2), True, w, len(r1) * 2,
+                max(2, passes - 2),
+                os.path.join(golden_dir, "pe_10k.sam"), repeat=2)
+            series_pe[str(w)] = round(_median(rp), 1)
     if only == "" and os.environ.get("BENCH_TRIM", "1") == "1":
         # trimmed-PE identity gate (variable read lengths; not timed;
         # whole-file batch like the committed golden)
@@ -465,6 +473,7 @@ def main():
         "passes": passes,
         "workers": workers,
         "worker_series_se": series,
+        "worker_series_pe": series_pe,
         "identity": identity,
         "stages_s": stages,
         "roofline": rf,

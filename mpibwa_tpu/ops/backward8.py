@@ -64,7 +64,6 @@ from mpibwa_tpu.ops.pulls import pull_prefix
 M33 = jnp.uint32(0x33333333)
 M55 = jnp.uint32(0x55555555)
 M0F = jnp.uint32(0x0F0F0F0F)
-BIG = np.int32(1 << 30)  # last_start "no mem yet" sentinel
 I0 = np.int32(0)
 I1 = np.int32(1)
 
@@ -199,22 +198,33 @@ def _occ_c2(o2, primary, ks, c):
 # ---------------------------------------------------------------------------
 
 
+def _prev_slot(x, fill):
+    """Slot-order predecessor of a (S, W) array (slot = r*W + c): shift
+    along the minor axis, with column 0 fed from the previous row's last
+    column. Two cheap 2-D slice/concat ops — no reshape relayout."""
+    S, W = x.shape
+    carry = jnp.concatenate(
+        [jnp.full((1, 1), fill, x.dtype), x[:-1, -1:]], axis=0)  # (S, 1)
+    return jnp.concatenate([carry, x[:, :-1]], axis=1)
+
+
 def _round8(o2, l2sel, primary, qflat, Ln, NL, st):
-    """One backward round — 5 latency-bound ops total. Gathers ride the
+    """One backward round — 4 latency-bound ops total. Gathers ride the
     measured-cheapest forms on this hardware (/tmp/gbench*.log): both occ
     positions in ONE O2 row-gather pair over a (8, 2W) index array
-    (4.5 ns/index vs 11 for the OCC16 rows), and the per-lane fp/last_start
-    state as (NL, 2) ROW gathers (2.6 ns vs 14.4 for the flat 2-index
-    form); the combined scatter-min stays in the flat (2NL,) form (13.7 ns
-    vs 15.2 row). State:
+    (4.5 ns/index vs 11 for the OCC16 rows). The lane's first-live entry
+    is found by NEIGHBOR logic, not per-lane state: dead entries grow as
+    a prefix of each lane's contiguous slot block (fact 1 + stable
+    compaction), so an entry is first-live iff it is live and its slot
+    predecessor is dead or across a lane boundary — two 2-D shifts
+    replace the old per-lane fp scatter-min + (NL, 2) row gather + the
+    O(NL) fresh rebuild that dominated small-capacity rounds. State:
     (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e — per-entry (8, W);
-     fpls — per-lane (2NL,): fpls[2l] = fp slot, fpls[2l+1] = last_start;
-     emitted, em_start — per-entry (8, W))."""
-    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fpls,
+     bound — per-entry (8, W) int32 lane-start mask, static between
+     compactions; emitted, em_start — per-entry (8, W))."""
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, bound,
      emitted, em_start) = st
     S, W = ik0.shape
-    slot = lax.broadcasted_iota(jnp.int32, (S, W), 0) * np.int32(W) \
-        + lax.broadcasted_iota(jnp.int32, (S, W), 1)
 
     valid = (i_e >= I0) & (i_e < Ln)
     qoff = lane2d * Ln + jnp.clip(i_e, I0, Ln - I1)
@@ -235,39 +245,24 @@ def _round8(o2, l2sel, primary, qflat, Ln, NL, st):
     liveb = live != I0
     keeper = liveb & has_c & (s2 >= minv_e)
 
-    # per-lane fp slot in one (NL, 2) ROW gather (the cheapest gather form
-    # on this hardware — 2.6 ns/row vs 7.5 for a flat 1-word gather; the
-    # odd half of fpls is unused)
-    fl = fpls.reshape(NL, 2)[lane2d]  # (8, W, 2)
-    fp_l = fl[..., 0]
-
     # emission: the lane's first live entry fails (bwt.c:329-337). The C
     # loop's last_start containment check is REDUNDANT under fact 1
-    # (failures form a prefix): within a round only the fp entry can pass
-    # is_first (the check's within-round role), and between rounds i
+    # (failures form a prefix): within a round only the first-live entry
+    # can emit (the check's within-round role), and between rounds i
     # strictly decreases so a new start i+1 is always < every earlier
-    # start — the check can never fire. Dropping it halves the
-    # scatter-min below (one index per entry, not two).
-    is_first = liveb & (slot == fp_l)
+    # start — the check can never fire.
+    prev_live = _prev_slot(live, I0) != I0
+    is_first = liveb & ((bound != I0) | ~prev_live)
     emit = is_first & ~keeper
     new_emitted = emitted | emit.astype(jnp.int32)
     new_em_start = jnp.where(emit, i_e + I1, em_start)
-
-    # keepers advance fp to their smallest slot. fp must RESET to the
-    # sentinel every round (no keepers => lane done), so scatter into a
-    # fresh array.
-    fresh = jnp.where(
-        (jnp.arange(fpls.shape[0], dtype=jnp.int32) & I1) != I0,
-        fpls, np.int32(S * W))
-    sidx = jnp.where(keeper, lane2d << 1, np.int32(2 * NL))
-    new_fpls = fresh.at[sidx].min(slot, mode="drop")
 
     app = keeper
     return (jnp.where(app, k2, ik0), ik1,
             jnp.where(app, s2, ik2),
             app.astype(jnp.int32),
             jnp.where(app, i_e - I1, i_e),
-            info, lane2d, minv_e, new_fpls, new_emitted, new_em_start)
+            info, lane2d, minv_e, bound, new_emitted, new_em_start)
 
 
 def _mk_state_args(o2, l2sel, primary, qflat, Ln, NL):
@@ -282,9 +277,19 @@ def segment8(tables, l2p, qflat, st, L: int, NL: int, n_rounds: int):
     return lax.fori_loop(0, n_rounds, lambda i, s: rb(s), st)
 
 
+TAIL_STEPS = 4  # rounds per while_loop iteration in the tail
+
+
 @functools.partial(jax.jit, static_argnums=(4, 5))
 def tail8(tables, l2p, qflat, st, L: int, NL: int):
-    """Run rounds until no entry is live (single dispatch)."""
+    """Run rounds until no entry is live (single dispatch).
+
+    The body runs TAIL_STEPS rounds per loop iteration: at tail capacity
+    (<= MIN_CAP) a round is launch-bound (~1.3 ms fixed vs ~0.2 ms of
+    index work measured at E=8192), and a round over an all-dead state is
+    a no-op (keeper/emit are masked by live), so over-stepping past the
+    last live round costs only the wasted index work — the while cond and
+    its device sync amortize 4x."""
     l2sel = l2p[:4]
     rb = _mk_state_args(tables, l2sel, l2p[4], qflat, np.int32(L), NL)
 
@@ -294,7 +299,9 @@ def tail8(tables, l2p, qflat, st, L: int, NL: int):
 
     def body(carry):
         r, st = carry
-        return r + I1, rb(st)
+        for _ in range(TAIL_STEPS):
+            st = rb(st)
+        return r + np.int32(TAIL_STEPS), st
 
     _, st = lax.while_loop(cond, body, (jnp.int32(0), st))
     return st
@@ -314,7 +321,7 @@ def shrink8(st, acc, acc_off, newE: int, NL: int, min_len=I0):
     evacuation (the host filters them anyway — _merge_filter semantics):
     measured on 101 bp data ~99% of raw emissions are sub-min_len, so the
     filter keeps the accumulator ~100x smaller."""
-    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fpls,
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, bound,
      emitted, em_start) = st
     S = 8
     W = ik0.shape[1]
@@ -347,16 +354,10 @@ def shrink8(st, acc, acc_off, newE: int, NL: int, min_len=I0):
     live2 = put2(live)
     i_e, info, minv_e = put2(i_e), put2(info), put2(minv_e)
     lane2 = put2(lane2d, fill=np.int32(NL))
-    slot2 = lax.broadcasted_iota(jnp.int32, (S, W2), 0) * np.int32(W2) \
-        + lax.broadcasted_iota(jnp.int32, (S, W2), 1)
-    # rebuild the fp halves (slots changed); keep the last_start halves
-    fpls2 = jnp.where(
-        (jnp.arange(fpls.shape[0], dtype=jnp.int32) & I1) != I0,
-        fpls, np.int32(newE))
-    fpls2 = fpls2.at[
-        jnp.where(live2 != I0, lane2 << 1, np.int32(2 * NL))].min(
-            slot2, mode="drop")
-    st2 = (ik0, ik1, ik2, live2, i_e, info, lane2, minv_e, fpls2,
+    # rebuild the lane-boundary mask (slots changed; compaction is stable,
+    # so lanes stay contiguous): start = lane differs from predecessor
+    bound2 = (lane2 != _prev_slot(lane2, np.int32(-1))).astype(jnp.int32)
+    st2 = (ik0, ik1, ik2, live2, i_e, info, lane2, minv_e, bound2,
            jnp.zeros((S, W2), jnp.int32), jnp.zeros((S, W2), jnp.int32))
     return st2, acc, new_off, overflow
 
@@ -365,7 +366,7 @@ def shrink8(st, acc, acc_off, newE: int, NL: int, min_len=I0):
 def pack_emitted8(st, E: int):
     """Append the tail's in-slot emissions to the accumulator contract:
     (E, 6) int32 rows (ik0, ik1, ik2, start, info_end, lane) + count."""
-    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, fpls,
+    (ik0, ik1, ik2, live, i_e, info, lane2d, minv_e, bound,
      emitted, em_start) = st
     em = emitted.reshape(E) != I0
     pos = jnp.cumsum(em.astype(jnp.int32)) - I1
@@ -436,13 +437,10 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     lane_c2d = jnp.clip(lane_flat, 0, NL - 1).reshape(S, W)
     x0_d = jnp.asarray(x0_np.astype(np.int32))
     minv_d = jnp.asarray(minv_np.astype(np.int32))
-    slot = (jnp.arange(E, dtype=jnp.int32)).reshape(S, W)
-    # fpls interleaves per-lane state: [2l] = fp slot, [2l+1] = last_start
-    fpls0 = jnp.where(
-        (jnp.arange(2 * NL, dtype=jnp.int32) & I1) != I0,
-        BIG, np.int32(E)).at[
-        jnp.where(live_flat.reshape(S, W) != I0, lane2d << 1,
-                  np.int32(2 * NL))].min(slot, mode="drop")
+    # lane-boundary mask for the neighbor first-live logic (_round8):
+    # lanes are laid out contiguously by assemble_entries, dead padding
+    # only at the global tail (lane == NL there)
+    bound0 = (lane2d != _prev_slot(lane2d, np.int32(-1))).astype(jnp.int32)
     st = (
         ik_d[:, 0].astype(idt).reshape(S, W),
         ik_d[:, 1].astype(idt).reshape(S, W),
@@ -452,7 +450,7 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
         info_d.astype(jnp.int32).reshape(S, W),
         lane2d,
         minv_d[lane_c2d.reshape(E)].reshape(S, W),
-        fpls0,
+        bound0,
         jnp.zeros((S, W), jnp.int32),
         jnp.zeros((S, W), jnp.int32),
     )

@@ -87,8 +87,17 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     lens2 = pad1(lens.astype(jnp.int32))  # pad lanes: len 0 -> DONE round 1
     minv2 = pad1(min_intv.astype(fm.idt), 1)
     row2d = jnp.arange(Bp, dtype=jnp.int32).reshape(S, W)
-    OUT_F = np.int32(Bp * F_CAP)  # drop sentinel for flat push scatters
-    OUT_C = np.int32(Bp * C_CAP)
+    # Section-fused flat buffers: every per-round output lands in one of
+    # TWO flat buffers (A: idt-valued interval words; B: int32 metadata),
+    # each updated with ONE drop-mode scatter per round. Separate buffers
+    # cost one scatter op EACH per round, and at automaton widths the
+    # per-op launch overhead dominates the index work (1-word flat
+    # scatters are this backend's fast path; (n, k) row scatters measured
+    # 2-5x slower still).
+    F = Bp * F_CAP
+    C = Bp * C_CAP
+    OUT_A = np.int32(3 * F)  # A sections: iv0 | iv1 | iv2
+    OUT_B = np.int32(F + 2 * C)  # B sections: infos | call_x | call_start
 
     state = dict(
         x=pad1(starts.astype(jnp.int32)),
@@ -98,20 +107,12 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         ik2=jnp.zeros((S, W), fm.idt),
         info=jnp.zeros((S, W), jnp.int32),
         i=jnp.zeros((S, W), jnp.int32),
-        # push buffers are FLAT per component: 1-word flat scatters are
-        # this backend's fast scatter path — a (n, k) ROW scatter measured
-        # ~2-5x slower per round than k flat scatters (k=2: 112 vs 94 ms;
-        # k=4: 250 ms for the whole automaton)
-        iv0=jnp.zeros(Bp * F_CAP, fm.idt),
-        iv1=jnp.zeros(Bp * F_CAP, fm.idt),
-        iv2=jnp.zeros(Bp * F_CAP, fm.idt),
-        infos=jnp.zeros(Bp * F_CAP, jnp.int32),
+        bufA=jnp.zeros(3 * F, fm.idt),
+        bufB=jnp.zeros(F + 2 * C, jnp.int32),
         n_pushed=jnp.zeros((S, W), jnp.int32),
         # call_len is DERIVED after the loop (pushes within a call are
         # consecutive, so call_len[c] = start[c+1] - start[c], last =
         # n_pushed - start); no per-round owner/length bookkeeping
-        call_x=jnp.zeros(Bp * C_CAP, jnp.int32),
-        call_start=jnp.zeros(Bp * C_CAP, jnp.int32),
         n_calls=jnp.zeros((S, W), jnp.int32),
         overflow=jnp.zeros((S, W), bool),
     )
@@ -121,25 +122,6 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         idx = jnp.minimum(row2d * np.int32(L) + safe, np.int32(B * L - 1))
         ok = (pos >= 0) & (pos < L) & (row2d < np.int32(B))
         return jnp.where(ok, qflat[idx], np.int32(4))
-
-    def push(st, do):
-        """Append current ik/info for lanes where do is True (one pure
-        drop-mode scatter; an overflowing push is dropped — the lane is
-        overflow-flagged and falls back to the exact scalar engine)."""
-        can = do & (st["n_pushed"] < F_CAP)
-        ov = do & (st["n_pushed"] >= F_CAP)
-        fidx = jnp.where(can, row2d * np.int32(F_CAP) + st["n_pushed"],
-                         OUT_F).reshape(-1)
-        return dict(
-            st,
-            iv0=st["iv0"].at[fidx].set(st["ik0"].reshape(-1), mode="drop"),
-            iv1=st["iv1"].at[fidx].set(st["ik1"].reshape(-1), mode="drop"),
-            iv2=st["iv2"].at[fidx].set(st["ik2"].reshape(-1), mode="drop"),
-            infos=st["infos"].at[fidx].set(st["info"].reshape(-1),
-                                           mode="drop"),
-            n_pushed=st["n_pushed"] + do.astype(jnp.int32),
-            overflow=st["overflow"] | ov,
-        )
 
     def end_call(st, do):
         """Call finished: last pushed info is the return; chain or stop.
@@ -173,14 +155,14 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         st = dict(st, overflow=st["overflow"] | call_ov,
                   kind=jnp.where(fin | call_ov, DONE, st["kind"]),
                   x=jnp.where(amb, x + 1, st["x"]))
-        # begin call (beg excludes n_calls >= C_CAP: in-range iff beg)
-        cidx = jnp.where(
-            beg, row2d * np.int32(C_CAP) + jnp.minimum(st["n_calls"],
-                                                       C_CAP - 1),
-            OUT_C).reshape(-1)
-        st["call_x"] = st["call_x"].at[cidx].set(x.reshape(-1), mode="drop")
-        st["call_start"] = st["call_start"].at[cidx].set(
-            st["n_pushed"].reshape(-1), mode="drop")
+        # begin call: capture the scatter values now, land them in the
+        # round's single fused B scatter below (beg excludes n_calls >=
+        # C_CAP: in-range iff beg)
+        cslot = (row2d * np.int32(C_CAP)
+                 + jnp.minimum(st["n_calls"], C_CAP - 1)).reshape(-1)
+        begf = beg.reshape(-1)
+        beg_x = x.reshape(-1)
+        beg_np = st["n_pushed"].reshape(-1)
         st["n_calls"] = st["n_calls"] + beg.astype(jnp.int32)
         ik0n = fm.set_intv(jnp.clip(qx, 0, 3))  # (8, W, 3)
         st["ik0"] = jnp.where(beg, ik0n[..., 0], st["ik0"])
@@ -206,7 +188,27 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         too_small = ns < minv2
         # pushes: end-of-read, ambiguous, or size change
         push_now = at_end | amb_i | (do_ext & changed)
-        st = push(st, push_now)
+        can = (push_now & (st["n_pushed"] < F_CAP)).reshape(-1)
+        ov = push_now & (st["n_pushed"] >= F_CAP)
+        slot = (row2d * np.int32(F_CAP) + st["n_pushed"]).reshape(-1)
+        FF = np.int32(F)
+        idxA = jnp.concatenate(
+            [jnp.where(can, slot, OUT_A),
+             jnp.where(can, slot + FF, OUT_A),
+             jnp.where(can, slot + np.int32(2 * F), OUT_A)])
+        valA = jnp.concatenate(
+            [st["ik0"].reshape(-1), st["ik1"].reshape(-1),
+             st["ik2"].reshape(-1)])
+        st["bufA"] = st["bufA"].at[idxA].set(valA, mode="drop")
+        idxB = jnp.concatenate(
+            [jnp.where(can, slot, OUT_B),
+             jnp.where(begf, cslot + FF, OUT_B),
+             jnp.where(begf, cslot + np.int32(F + C), OUT_B)])
+        valB = jnp.concatenate(
+            [st["info"].reshape(-1), beg_x, beg_np])
+        st["bufB"] = st["bufB"].at[idxB].set(valB, mode="drop")
+        st["n_pushed"] = st["n_pushed"] + push_now.astype(jnp.int32)
+        st["overflow"] = st["overflow"] | ov
         # call terminations
         term = at_end | amb_i | (do_ext & changed & too_small)
         st = end_call(st, term)
@@ -229,19 +231,20 @@ def forward_pass(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     # pushes within a call are consecutive in the lane's push buffer, so
     # the lengths need no per-round bookkeeping (non-overflow lanes only;
     # overflow lanes fall back to the exact scalar engine anyway)
-    call_start = state["call_start"].reshape(Bp, C_CAP)
+    bufA, bufB = state["bufA"], state["bufB"]
+    call_start = bufB[F + C : F + 2 * C].reshape(Bp, C_CAP)
     nc = jnp.minimum(n_calls, C_CAP)[:, None]
     cix = jnp.arange(C_CAP, dtype=jnp.int32)[None, :]
     nxt = jnp.concatenate(
         [call_start[:, 1:], jnp.zeros((Bp, 1), jnp.int32)], axis=1)
     nxt = jnp.where(cix + 1 < nc, nxt, n_pushed[:, None])
     call_len = jnp.where(cix < nc, nxt - call_start, 0)
-    ivals = jnp.stack([state["iv0"], state["iv1"], state["iv2"]],
+    ivals = jnp.stack([bufA[:F], bufA[F : 2 * F], bufA[2 * F :]],
                       axis=-1).reshape(Bp, F_CAP, 3)
     return FwdOut(ivals[:B],
-                  state["infos"].reshape(Bp, F_CAP)[:B],
+                  bufB[:F].reshape(Bp, F_CAP)[:B],
                   n_pushed[:B],
-                  state["call_x"].reshape(Bp, C_CAP)[:B],
+                  bufB[F : F + C].reshape(Bp, C_CAP)[:B],
                   call_start[:B],
                   call_len[:B],
                   n_calls[:B],
@@ -276,9 +279,15 @@ def forward_p3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
     lens2 = pad1(lens.astype(jnp.int32))
     minv2 = pad1(min_intv.astype(fm.idt), 1)
     row2d = jnp.arange(Bp, dtype=jnp.int32).reshape(S, W)
-    OUT_F = np.int32(Bp * F_CAP)
-    OUT_C = np.int32(Bp * C_CAP)
-    OUT_S = np.int32(Bp * S3_CAP)
+    # Section-fused flat buffers (see forward_pass): A holds the
+    # idt-valued interval words (iv0|iv1|iv2|s0|s1|s2), B the int32
+    # metadata (infos|call_x|call_start|sx|si) — ONE drop-mode scatter
+    # each per round instead of 11 separate scatters.
+    F = Bp * F_CAP
+    C = Bp * C_CAP
+    S3 = Bp * S3_CAP
+    OUT_A = np.int32(3 * F + 3 * S3)
+    OUT_B = np.int32(F + 2 * C + 2 * S3)
 
     state = dict(
         # forward (pass-1) automaton
@@ -289,13 +298,9 @@ def forward_p3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         ik2=jnp.zeros((S, W), fm.idt),
         info=jnp.zeros((S, W), jnp.int32),
         i=jnp.zeros((S, W), jnp.int32),
-        iv0=jnp.zeros(Bp * F_CAP, fm.idt),
-        iv1=jnp.zeros(Bp * F_CAP, fm.idt),
-        iv2=jnp.zeros(Bp * F_CAP, fm.idt),
-        infos=jnp.zeros(Bp * F_CAP, jnp.int32),
+        bufA=jnp.zeros(3 * F + 3 * S3, fm.idt),
+        bufB=jnp.zeros(F + 2 * C + 2 * S3, jnp.int32),
         n_pushed=jnp.zeros((S, W), jnp.int32),
-        call_x=jnp.zeros(Bp * C_CAP, jnp.int32),
-        call_start=jnp.zeros(Bp * C_CAP, jnp.int32),
         n_calls=jnp.zeros((S, W), jnp.int32),
         overflow=jnp.zeros((S, W), bool),
         # pass-3 automaton
@@ -305,11 +310,6 @@ def forward_p3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         pk0=jnp.zeros((S, W), fm.idt),
         pk1=jnp.zeros((S, W), fm.idt),
         pk2=jnp.zeros((S, W), fm.idt),
-        s0=jnp.zeros(Bp * S3_CAP, fm.idt),
-        s1=jnp.zeros(Bp * S3_CAP, fm.idt),
-        s2=jnp.zeros(Bp * S3_CAP, fm.idt),
-        sx=jnp.zeros(Bp * S3_CAP, jnp.int32),
-        si=jnp.zeros(Bp * S3_CAP, jnp.int32),
         pn=jnp.zeros((S, W), jnp.int32),
         pov=jnp.zeros((S, W), bool),
     )
@@ -346,13 +346,13 @@ def forward_p3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         st = dict(st, overflow=st["overflow"] | call_ov,
                   kind=jnp.where(fin | call_ov, DONE, st["kind"]),
                   x=jnp.where(amb, x + 1, st["x"]))
-        cidx = jnp.where(
-            beg, row2d * np.int32(C_CAP) + jnp.minimum(st["n_calls"],
-                                                       C_CAP - 1),
-            OUT_C).reshape(-1)
-        st["call_x"] = st["call_x"].at[cidx].set(x.reshape(-1), mode="drop")
-        st["call_start"] = st["call_start"].at[cidx].set(
-            st["n_pushed"].reshape(-1), mode="drop")
+        # begin call: capture values now, land them in the round's single
+        # fused B scatter below
+        cslot = (row2d * np.int32(C_CAP)
+                 + jnp.minimum(st["n_calls"], C_CAP - 1)).reshape(-1)
+        begf = beg.reshape(-1)
+        beg_x = x.reshape(-1)
+        beg_np = st["n_pushed"].reshape(-1)
         st["n_calls"] = st["n_calls"] + beg.astype(jnp.int32)
 
         # ---- pass-3 seek ----
@@ -404,15 +404,14 @@ def forward_p3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         changed = ns != st["ik2"]
         too_small = ns < minv2
         push_now = at_end | amb_i | (do_ext & changed)
-        can = push_now & (st["n_pushed"] < F_CAP)
+        can = (push_now & (st["n_pushed"] < F_CAP)).reshape(-1)
         ov = push_now & (st["n_pushed"] >= F_CAP)
-        fidx = jnp.where(can, row2d * np.int32(F_CAP) + st["n_pushed"],
-                         OUT_F).reshape(-1)
-        st["iv0"] = st["iv0"].at[fidx].set(st["ik0"].reshape(-1), mode="drop")
-        st["iv1"] = st["iv1"].at[fidx].set(st["ik1"].reshape(-1), mode="drop")
-        st["iv2"] = st["iv2"].at[fidx].set(st["ik2"].reshape(-1), mode="drop")
-        st["infos"] = st["infos"].at[fidx].set(st["info"].reshape(-1),
-                                               mode="drop")
+        slot = (row2d * np.int32(F_CAP) + st["n_pushed"]).reshape(-1)
+        # capture push values BEFORE the go_on advance mutates them; they
+        # land in the round's single fused scatters below
+        push_ik = (st["ik0"].reshape(-1), st["ik1"].reshape(-1),
+                   st["ik2"].reshape(-1))
+        push_info = st["info"].reshape(-1)
         st["n_pushed"] = st["n_pushed"] + push_now.astype(jnp.int32)
         st["overflow"] = st["overflow"] | ov
         # call end: the last pushed info is the return, and every
@@ -431,17 +430,37 @@ def forward_p3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         # ---- pass-3 extend bookkeeping ----
         hit = pdo & (qs < max_intv) & ((pi - st["px"]) >= min_seed_len)
         emit = hit & (qs > 0)
-        pcan = emit & (st["pn"] < S3_CAP)
+        pcan = (emit & (st["pn"] < S3_CAP)).reshape(-1)
         pv = emit & (st["pn"] >= S3_CAP)
-        sidx = jnp.where(pcan, row2d * np.int32(S3_CAP) + st["pn"],
-                         OUT_S).reshape(-1)
-        st["s0"] = st["s0"].at[sidx].set(qk0.reshape(-1), mode="drop")
-        st["s1"] = st["s1"].at[sidx].set(qk1.reshape(-1), mode="drop")
-        st["s2"] = st["s2"].at[sidx].set(qs.reshape(-1), mode="drop")
-        st["sx"] = st["sx"].at[sidx].set(st["px"].reshape(-1), mode="drop")
-        st["si"] = st["si"].at[sidx].set((pi + 1).reshape(-1), mode="drop")
+        pslot = (row2d * np.int32(S3_CAP) + st["pn"]).reshape(-1)
         st["pn"] = st["pn"] + emit.astype(jnp.int32)
         st["pov"] = st["pov"] | pv
+
+        # ---- the round's TWO fused scatters ----
+        FF, F3 = np.int32(F), np.int32(3 * F)
+        idxA = jnp.concatenate(
+            [jnp.where(can, slot, OUT_A),
+             jnp.where(can, slot + FF, OUT_A),
+             jnp.where(can, slot + np.int32(2 * F), OUT_A),
+             jnp.where(pcan, pslot + F3, OUT_A),
+             jnp.where(pcan, pslot + np.int32(3 * F + S3), OUT_A),
+             jnp.where(pcan, pslot + np.int32(3 * F + 2 * S3), OUT_A)])
+        valA = jnp.concatenate(
+            [push_ik[0], push_ik[1], push_ik[2],
+             qk0.reshape(-1), qk1.reshape(-1), qs.reshape(-1)])
+        st["bufA"] = st["bufA"].at[idxA].set(valA, mode="drop")
+        FC = np.int32(F + C)
+        F2C = np.int32(F + 2 * C)
+        idxB = jnp.concatenate(
+            [jnp.where(can, slot, OUT_B),
+             jnp.where(begf, cslot + FF, OUT_B),
+             jnp.where(begf, cslot + FC, OUT_B),
+             jnp.where(pcan, pslot + F2C, OUT_B),
+             jnp.where(pcan, pslot + np.int32(F + 2 * C + S3), OUT_B)])
+        valB = jnp.concatenate(
+            [push_info, beg_x, beg_np,
+             st["px"].reshape(-1), (pi + 1).reshape(-1)])
+        st["bufB"] = st["bufB"].at[idxB].set(valB, mode="drop")
         st["pkind"] = jnp.where(p_end, DONE, st["pkind"])
         pnxt = pamb_i | hit
         st["px"] = jnp.where(pnxt, pi + 1, st["px"])
@@ -457,29 +476,32 @@ def forward_p3(fm: DeviceFMIndex, q: jnp.ndarray, lens: jnp.ndarray,
         return jnp.any((st["kind"] != DONE) | (st["pkind"] != DONE))
 
     state = jax.lax.while_loop(cond, body, state)
+    bufA, bufB = state["bufA"], state["bufB"]
     n_pushed = state["n_pushed"].reshape(Bp)
     n_calls = state["n_calls"].reshape(Bp)
-    call_start = state["call_start"].reshape(Bp, C_CAP)
+    call_start = bufB[F + C : F + 2 * C].reshape(Bp, C_CAP)
     nc = jnp.minimum(n_calls, C_CAP)[:, None]
     cix = jnp.arange(C_CAP, dtype=jnp.int32)[None, :]
     nxt = jnp.concatenate(
         [call_start[:, 1:], jnp.zeros((Bp, 1), jnp.int32)], axis=1)
     nxt = jnp.where(cix + 1 < nc, nxt, n_pushed[:, None])
     call_len = jnp.where(cix < nc, nxt - call_start, 0)
-    ivals = jnp.stack([state["iv0"], state["iv1"], state["iv2"]],
+    ivals = jnp.stack([bufA[:F], bufA[F : 2 * F], bufA[2 * F : 3 * F]],
                       axis=-1).reshape(Bp, F_CAP, 3)
     fwd = FwdOut(ivals[:B],
-                 state["infos"].reshape(Bp, F_CAP)[:B],
+                 bufB[:F].reshape(Bp, F_CAP)[:B],
                  n_pushed[:B],
-                 state["call_x"].reshape(Bp, C_CAP)[:B],
+                 bufB[F : F + C].reshape(Bp, C_CAP)[:B],
                  call_start[:B],
                  call_len[:B],
                  n_calls[:B],
                  state["overflow"].reshape(Bp)[:B])
-    seeds = jnp.stack([state["s0"], state["s1"], state["s2"]],
+    seeds = jnp.stack([bufA[3 * F : 3 * F + S3],
+                       bufA[3 * F + S3 : 3 * F + 2 * S3],
+                       bufA[3 * F + 2 * S3 :]],
                       axis=-1).reshape(Bp, S3_CAP, 3)
-    sinf = ((state["sx"].astype(jnp.int64) << 32)
-            | state["si"].astype(jnp.int64))
+    sinf = ((bufB[F + 2 * C : F + 2 * C + S3].astype(jnp.int64) << 32)
+            | bufB[F + 2 * C + S3 :].astype(jnp.int64))
     p3 = Pass3Out(seeds[:B],
                   sinf.reshape(Bp, S3_CAP)[:B],
                   state["pn"].reshape(Bp)[:B],
