@@ -400,7 +400,8 @@ def _merge_filter(acc, acc_off, tail_cols, n_tail_cap: int, n_tail,
 
 
 def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
-                  min_len=0, raw=False, est_rows=0, _force_adaptive=False):
+                  min_len=0, raw=False, est_rows=0, _force_adaptive=False,
+                  extra_ov=None):
     """Driver matching seeding_flat.run_backward_flat's contract, except
     x[1] of the returned mems is the un-extended forward value (see module
     docstring, fact 3) and mems shorter than min_len are dropped on device
@@ -435,8 +436,12 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
     lane_masked = jnp.where(live_flat != I0, lane_flat, np.int32(NL))
     lane2d = lane_masked.reshape(S, W)
     lane_c2d = jnp.clip(lane_flat, 0, NL - 1).reshape(S, W)
-    x0_d = jnp.asarray(x0_np.astype(np.int32))
-    minv_d = jnp.asarray(minv_np.astype(np.int32))
+    # x0/minv may arrive as device arrays (sync-free callers build the
+    # lane tables on device) or as host numpy
+    x0_d = (x0_np.astype(jnp.int32) if isinstance(x0_np, jnp.ndarray)
+            else jnp.asarray(x0_np.astype(np.int32)))
+    minv_d = (minv_np.astype(jnp.int32) if isinstance(minv_np, jnp.ndarray)
+              else jnp.asarray(minv_np.astype(np.int32)))
     # lane-boundary mask for the neighbor first-live logic (_round8):
     # lanes are laid out contiguously by assemble_entries, dead padding
     # only at the global tail (lane == NL there)
@@ -565,14 +570,20 @@ def run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np, minv_np,
 
     ov_d = (jnp.any(jnp.stack(ov_flags)) if ov_flags
             else jnp.asarray(False))
+    if extra_ov is not None:
+        # caller-provided device flag (e.g. a speculative entry capacity
+        # that measured too small) — surfaces through the same overflow
+        # path; an adaptive retry with the flag still set reports
+        # overflow to the caller, which redoes the group exactly
+        ov_d = ov_d | extra_ov
     return _finish8(rows_d, n_keep, ov_d, fm, qrows_dev, entry_dev,
                     n_lanes, x0_np, minv_np, min_len, raw, est_rows,
-                    static_mode, np_idt, prof, t0)
+                    static_mode, np_idt, prof, t0, extra_ov)
 
 
 def _finish8(rows_d, n_keep, ov_d, fm, qrows_dev, entry_dev, n_lanes,
              x0_np, minv_np, min_len, raw, est_rows, static_mode, np_idt,
-             prof, t0):
+             prof, t0, extra_ov=None):
     """Shared result/overflow handling for both driver modes: pull the
     merged rows (speculative prefix in raw mode); on overflow, a static
     replay redoes the group adaptively (the rerun envelope-merges this
@@ -582,9 +593,12 @@ def _finish8(rows_d, n_keep, ov_d, fm, qrows_dev, entry_dev, n_lanes,
     import time as _time
 
     def _retry_adaptive():
+        # extra_ov forwarded: if IT caused the overflow, the adaptive
+        # rerun still reports overflow (entries were truncated at
+        # assembly; only the caller's exact redo has them all)
         return run_backward8(fm, qrows_dev, entry_dev, n_lanes, x0_np,
                              minv_np, min_len, raw, est_rows,
-                             _force_adaptive=True)
+                             _force_adaptive=True, extra_ov=extra_ov)
 
     if raw:
         if est_rows > 0:

@@ -226,6 +226,37 @@ def _pack_fwd1(fwd):
                               fwd.call_start, fwd.call_len)
 
 
+def _p2_tables(fwd2, cap):
+    """Device-side pass-2 backward lane tables (sync-free pass 2): from
+    the single-call forward outputs build lane_tbl rows [push_start, len,
+    entry_start(excl cumsum)], per-lane x0, a control vector
+    [e2_total] ++ per-lane overflow flags (pulled ASYNC — consumed only
+    after the backward result), and a device flag for "the speculative
+    entry capacity cap was too small" (rides run_backward8's overflow
+    path -> the caller redoes pass 2 with the synchronous route)."""
+    import jax
+    import jax.numpy as jnp
+
+    if "p2tab" not in _JITS:
+        @jax.jit
+        def p2tab(nc, cx, cs, cl, ovf, cap_):
+            live = nc > 0
+            ln = jnp.where(live, cl[:, 0], 0).astype(jnp.int32)
+            starts = jnp.cumsum(ln) - ln  # exclusive
+            ltbl = jnp.stack(
+                [cs[:, 0].astype(jnp.int32), ln, starts], axis=1)
+            e2 = jnp.sum(ln)
+            ctl = jnp.concatenate(
+                [e2[None], ovf.astype(jnp.int32)])
+            return ltbl, cx[:, 0].astype(jnp.int32), ctl, e2 > cap_
+
+        _JITS["p2tab"] = p2tab
+    import numpy as _np
+
+    return _JITS["p2tab"](fwd2.n_calls, fwd2.call_x, fwd2.call_start,
+                          fwd2.call_len, fwd2.overflow, _np.int32(cap))
+
+
 class DeviceSeeder:
     """collect_intv over batches using the device automata."""
 
@@ -714,26 +745,78 @@ class DeviceSeeder:
             fwd2 = seeding.forward_pass(self.dfm, q2d, jnp.asarray(lens2),
                                         jnp.asarray(min2), False,
                                         jnp.asarray(starts2))
-            p2 = np.asarray(_pack_fwd1(fwd2))
-            tt["p2_fwd"] = tt.get("p2_fwd", 0.0) + _time.time() - t2
-            ovl = p2[:n2, 0] != 0
-            if ovl.any():
-                fallback[sreads[ovl]] = True
-            live2 = p2[:n2, 1] > 0
-            l2idx = np.nonzero(live2)[0]
-            if len(l2idx):
-                call_list2 = np.stack(
-                    [l2idx, p2[l2idx, 3], p2[l2idx, 4], p2[l2idx, 2],
-                     min2[l2idx]], axis=1)
+            import os as _os
+
+            mode2 = _os.environ.get("MPIBWA_BWD", "auto")
+            import jax as _jax
+
+            v8 = (mode2 == "v8"
+                  or (mode2 == "auto"
+                      and _jax.default_backend() != "cpu"))
+            est2 = self.__dict__.setdefault("_p2_est", {})
+            done2 = False
+            if v8 and "e" in est2:
+                # sync-free pass 2: lane tables built ON DEVICE from the
+                # forward outputs with a SPECULATIVE entry capacity, so
+                # nothing blocks between the forward and backward
+                # dispatches; per-read overflow flags + the measured e2
+                # ride an async pull consumed after the backward result.
+                # A capacity miss flips the backward's overflow -> redo
+                # via the synchronous route below (rare; estimate adapts).
+                from mpibwa_tpu.ops import backward8 as B8
+                from mpibwa_tpu.ops import seeding_flat as SF
+                from mpibwa_tpu.ops.pulls import pull_prefix_async
+
+                cap = B8.cap_bucket(max(int(est2["e"]) * 5 // 4, 1024),
+                                    1024)
+                ltbl_d, x0_d, ctl2_d, cap_ov = _p2_tables(fwd2, cap)
+                ik2, info2, lane2_, live2_ = SF.assemble_entries(
+                    fwd2.ivals, fwd2.infos,
+                    jnp.arange(B2, dtype=jnp.int32), ltbl_d, cap)
+                ctl2_thunk = pull_prefix_async(ctl2_d, 1 + n2)
+                tt["p2_fwd"] = tt.get("p2_fwd", 0.0) + _time.time() - t2
                 t2 = _time.time()
-                rows2, ov2 = self._backward_rows(q2d, call_list2,
-                                                 fwd2.ivals, fwd2.infos)
+                rows2, ov2 = B8.run_backward8(
+                    self.dfm, q2d, (ik2, info2, lane2_, live2_), B2,
+                    x0_d, jnp.asarray(min2.astype(np.int32)),
+                    min_len=self.opt.min_seed_len, raw=True,
+                    est_rows=B2 // 8 + 1024, extra_ov=cap_ov)
                 tt["p2_bwd"] = tt.get("p2_bwd", 0.0) + _time.time() - t2
-                if ov2:
-                    return None
-                rows2 = self._order_rows(rows2)
-                read2 = (sreads[l2idx[rows2[:, 5]]] if len(rows2)
-                         else np.zeros(0, np.int64))
+                ctl2 = ctl2_thunk()
+                est2["e"] = max(int(ctl2[0]), 64)
+                if not ov2:
+                    ovl = ctl2[1 : 1 + n2] != 0
+                    if ovl.any():
+                        fallback[sreads[ovl]] = True
+                    rows2 = self._order_rows(rows2)
+                    read2 = (sreads[rows2[:, 5]] if len(rows2)
+                             else np.zeros(0, np.int64))
+                    done2 = True
+                # ov2 (backward OR capacity): fall through to the exact
+                # synchronous route with the same fwd2 outputs
+            if not done2:
+                p2 = np.asarray(_pack_fwd1(fwd2))
+                tt["p2_fwd"] = tt.get("p2_fwd", 0.0) + _time.time() - t2
+                ovl = p2[:n2, 0] != 0
+                if ovl.any():
+                    fallback[sreads[ovl]] = True
+                live2 = p2[:n2, 1] > 0
+                est2["e"] = max(int(p2[:n2, 4][live2].sum()), 64)
+                l2idx = np.nonzero(live2)[0]
+                if len(l2idx):
+                    call_list2 = np.stack(
+                        [l2idx, p2[l2idx, 3], p2[l2idx, 4], p2[l2idx, 2],
+                         min2[l2idx]], axis=1)
+                    t2 = _time.time()
+                    rows2, ov2 = self._backward_rows(q2d, call_list2,
+                                                     fwd2.ivals,
+                                                     fwd2.infos)
+                    tt["p2_bwd"] = tt.get("p2_bwd", 0.0) + _time.time() - t2
+                    if ov2:
+                        return None
+                    rows2 = self._order_rows(rows2)
+                    read2 = (sreads[l2idx[rows2[:, 5]]] if len(rows2)
+                             else np.zeros(0, np.int64))
         t0 = _mark("pass2", t0)
 
         # ---- pass 3 rows ----
