@@ -41,6 +41,11 @@ from .extend_batch import ExtendOut
 
 NEG = -(1 << 28)
 P_BLK = 128  # problems per grid block (one lane tile)
+ROW_STEPS = 4  # target rows per while_loop iteration: the row recurrence
+#              is ~0.5 us of VPU work but a Mosaic while iteration costs
+#              ~25 us (cond reduce + branch), so multi-stepping amortizes
+#              it; a row-step past tlen or on a broken lane is a masked
+#              no-op, so over-stepping is exact
 
 
 def _maxscan_decay_roll(t, e_ins, Q, row):
@@ -224,7 +229,12 @@ def _mk_kernel(Q: int, T: int, o_del: int, e_del: int, o_ins: int,
                     jnp.where(keep, new_max_off, max_off),
                     brk)
 
-        st = lax.while_loop(cond, body, state0)
+        def multi_body(c):
+            for _ in range(ROW_STEPS):
+                c = body(c)
+            return c
+
+        st = lax.while_loop(cond, multi_body, state0)
         (_, _, _, maxv, max_i, max_j, max_ie, gscore, max_off, _) = st
         out = jnp.concatenate(
             [maxv, max_j + ONE, max_i + ONE, max_ie + ONE, gscore, max_off,
