@@ -295,3 +295,50 @@ def test_v8_schedule_replay_and_retry(dfm, fm, monkeypatch):
     # the overflowing shapes re-recorded sane schedules (a poisoned
     # schedule that happens to FIT a small group legitimately survives)
     assert any(v != (256,) for v in B8.SCHED_CACHE.values())
+
+
+def test_p2_speculative_matches_sync(dfm, monkeypatch):
+    """The sync-free pass-2 route (device-built lane tables, speculative
+    entry capacity — activates once the seeder has an estimate, i.e. from
+    the second batch) must return exactly the synchronous route's rows,
+    including when the speculative capacity is poisoned too small (the
+    overflow flag must force the synchronous redo, not truncate)."""
+    from mpibwa_tpu.pipeline.device_seed import DeviceSeeder
+
+    monkeypatch.setenv("MPIBWA_BWD", "v8")
+    opt = mem_opt_init()
+    reads = read_fastq(fastq_path("HCC1187C_R1_10K.fastq"), limit=64)
+    qs = [s.seq for s in reads]
+    base = DeviceSeeder(dfm, opt)
+    want = base.collect_flat(qs)  # first batch: synchronous route
+    assert want is not None and "e" in base._p2_est
+    got = base.collect_flat(qs)  # second batch: speculative route
+    assert got is not None
+    np.testing.assert_array_equal(want[0], got[0])
+    np.testing.assert_array_equal(want[1], got[1])
+    np.testing.assert_array_equal(want[2], got[2])
+    # genuine capacity miss: shrink the bucket floor so the speculative
+    # cap lands below the real entry count -> device overflow flag ->
+    # synchronous redo (not a truncated result)
+    from mpibwa_tpu.ops import backward8 as B8
+
+    real_e = int(base._p2_est["e"])
+    assert real_e > 8
+    orig_bucket = B8.cap_bucket
+    calls = {"n": 0}
+
+    def tiny_bucket(n, floor=B8.MIN_CAP):
+        # poison ONLY the speculative-cap call (floor=1024, small n —
+        # pass 1's exact pad uses the same floor but n in the thousands);
+        # shrinking an EXACT pad would violate a production invariant
+        # (cap_bucket always returns >= n there)
+        if floor == 1024 and n <= 1024 and calls["n"] == 0:
+            calls["n"] += 1
+            return 8
+        return orig_bucket(n, floor)
+
+    monkeypatch.setattr(B8, "cap_bucket", tiny_bucket)
+    got2 = base.collect_flat(qs)
+    assert got2 is not None
+    np.testing.assert_array_equal(want[0], got2[0])
+    assert calls["n"] == 1  # the speculative cap was actually poisoned
